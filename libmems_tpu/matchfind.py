@@ -1,0 +1,463 @@
+"""Multi-MUM discovery: global sort + segmented reduction + batched extension.
+
+TPU-native replacement for the reference's k-way SML stream merge + hash
+table (MatchFinder::SearchRange / FindMatchSeeds, libMems/MatchFinder.cpp:
+128-393; MemHash::FindMatches / EnumerateMatches / AddHashEntry,
+libMems/MemHash.cpp:109-251).  Instead of streaming cursors and a 40000-
+bucket offset hash, the pipeline is:
+
+1. concat every genome's canonical window keys into one
+   (content, genome, position, strand) table and globally sort it
+   (one `jax.lax.sort` — the analog of the reference's per-genome sort +
+   k-way merge);
+2. segmented scans over equal-content runs apply the reference's seed
+   enumeration semantics (MemHash.cpp:139-162):
+   * default unique-MUM mode: a seed repeated within any member genome
+     kills the whole seed (repeat_tolerance=0);
+   * runs longer than `repeat_limit` (MER_REPEAT_LIMIT=1000,
+     MatchFinder.cpp:166) are skipped wholesale;
+3. surviving seeds become candidate match rows whose relative strands are
+   assigned from canonical-key strand bits (MemHash::SetDirection,
+   MemHash.cpp:189-203);
+4. every candidate is extended to a maximal match simultaneously by the
+   batched extension kernel (libmems_tpu.ops.extend, replacing
+   MatchFinder::ExtendMatch);
+5. dedup is an exact row unique: with the reference's semantics, any two
+   seeds of the same maximal match extend to identical signed rows, so
+   the offset-bucket containment test (MemHash::AddHashEntry) reduces to
+   `np.unique` on (starts, length).
+
+Parity with the reference is property-tested against the loop-faithful
+oracle in tests/oracle/refimpl.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libmems_tpu import _jaxconfig  # noqa: F401
+from libmems_tpu import seeds as seedlib
+from libmems_tpu.match import MatchArray
+from libmems_tpu.ops import segments as seg
+from libmems_tpu.ops.extend import extend_matches
+from libmems_tpu.sequence import Genome
+from libmems_tpu.sml import SortedMerList
+
+MER_REPEAT_LIMIT = 1000  # MatchFinder.cpp:166
+
+
+# --------------------------------------------------------------------------
+# stage 1-2: sorted seed table + run analysis (device)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _sorted_seed_table(keys_concat, gid_concat, pos_concat):
+    """Globally sort the (content, gid, pos) table; strand rides along."""
+    content = keys_concat >> 1
+    strand = (keys_concat & 1).astype(jnp.uint8)
+    return jax.lax.sort((content, gid_concat, pos_concat, strand),
+                        num_keys=3, is_stable=False)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _mum_seed_flags(content, gid, pos, strand, repeat_tolerance: int,
+                    repeat_limit: int):
+    """Per-row flags for default MemHash seed enumeration.
+
+    Returns (kept_occ, row_id, ref_strand, n_rows) where kept_occ marks the
+    first occurrence of each (content, genome) in surviving runs, row_id
+    numbers surviving runs densely, and ref_strand broadcasts the run's
+    first kept occurrence's strand (the SetDirection reference genome).
+    """
+    sc = seg.run_starts(content)
+    scg = seg.run_starts(content, gid)
+    subrun_len = seg.run_lengths(scg)
+    max_subrun = seg.segment_max_broadcast(subrun_len, sc)
+    ngids = seg.segment_sum_broadcast(scg.astype(jnp.int32), sc)
+    runlen = seg.run_lengths(sc)
+    keep_run = (ngids >= 2) & (max_subrun <= repeat_tolerance + 1) \
+        & (runlen <= repeat_limit)
+    kept_occ = scg & keep_run
+    rid_at_start = jnp.cumsum((sc & keep_run).astype(jnp.int32)) - 1
+    row_id = rid_at_start[seg.start_index(sc)]
+    # ref strand: strand of the run's first row (which is the first kept
+    # occurrence when the run survives, since sort is (content, gid, pos))
+    ref_strand = strand[seg.start_index(sc)]
+    n_rows = jnp.where(keep_run.any(), rid_at_start[-1] + 1, 0)
+    return kept_occ, row_id, ref_strand, n_rows
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _unique_occ_flags(content, gid, pos, strand, repeat_limit: int):
+    """Per-row flags for PairwiseMatchFinder seed enumeration: occurrences
+    unique within their genome, in runs of total length <= repeat_limit
+    (PairwiseMatchFinder.cpp:37-71)."""
+    sc = seg.run_starts(content)
+    scg = seg.run_starts(content, gid)
+    subrun_len = seg.run_lengths(scg)
+    runlen = seg.run_lengths(sc)
+    unique_occ = (subrun_len == 1) & (runlen <= repeat_limit)
+    run_id = jnp.cumsum(sc.astype(jnp.int32)) - 1
+    return unique_occ, run_id
+
+
+# --------------------------------------------------------------------------
+# stage 4: batched extension (device, padded)
+# --------------------------------------------------------------------------
+
+def _pad_rows(n: int) -> int:
+    """Pad row counts to limit recompilation of the extension kernel."""
+    if n <= 256:
+        return 256
+    p = 1 << (n - 1).bit_length()
+    return p
+
+
+def _cluster_reduce_np(starts: np.ndarray, lengths: np.ndarray,
+                       seed_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host twin of the device diagonal clustering: keep one candidate
+    per (participation, strand pattern, diagonal) cluster whose seeds
+    are chain-connected (ref-position gaps <= seed_len).  All members of
+    a cluster extend to the same maximal match, so dropping non-
+    representatives cannot change the deduplicated result set."""
+    R, G = starts.shape
+    if R == 0:
+        return starts, lengths
+    present = starts != 0
+    pos = np.abs(starts) - 1
+    ref_idx = np.argmax(present, axis=1)
+    pos_ref = pos[np.arange(R), ref_idx]
+    neg = starts < 0
+    delta = np.where(present,
+                     np.where(neg, pos + pos_ref[:, None],
+                              pos - pos_ref[:, None]),
+                     np.int64(1) << 62)
+    w = np.int64(1) << np.arange(G, dtype=np.int64)
+    maskbits = (present * w).sum(axis=1)
+    signbits = (neg * w).sum(axis=1)
+    order = np.lexsort((pos_ref,) + tuple(
+        delta[:, g] for g in range(G - 1, -1, -1)) + (signbits, maskbits))
+    sm, ss = maskbits[order], signbits[order]
+    sd, sp = delta[order], pos_ref[order]
+    sig_change = np.concatenate([[True],
+                                 (sm[1:] != sm[:-1]) | (ss[1:] != ss[:-1])
+                                 | (sd[1:] != sd[:-1]).any(axis=1)
+                                 | (sp[1:] - sp[:-1] > seed_len)])
+    reps = order[sig_change]
+    return starts[reps], lengths[reps]
+
+
+def _extend_rows(smls: list[SortedMerList], starts: np.ndarray,
+                 lengths: np.ndarray, chunk: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Extend signed candidate rows to maximal matches on device."""
+    R, G = starts.shape
+    if R == 0:
+        return starts, lengths
+    seed_len = smls[0].seed_length
+    if chunk is None:
+        chunk = max(seed_len, 128)
+
+    keys_concat = jnp.concatenate([s.keys for s in smls])
+    cnts = np.array([s.n_windows for s in smls], dtype=np.int32)
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int32)
+
+    Rp = _pad_rows(R)
+    pad = Rp - R
+    starts_p = np.concatenate([starts, np.zeros((pad, G), np.int64)])
+    lengths_p = np.concatenate([lengths, np.full((pad,), seed_len, np.int64)])
+
+    present = starts_p != 0
+    lefts = (np.abs(starts_p) - 1).astype(np.int32)
+    lefts[~present] = 0
+    is_fwd = starts_p > 0
+
+    gen_off = np.broadcast_to(offs, (Rp, G))
+    gen_cnt = np.broadcast_to(cnts, (Rp, G))
+
+    out_lefts, out_lengths = extend_matches(
+        keys_concat, seed_len, chunk,
+        jnp.asarray(gen_off), jnp.asarray(gen_cnt), jnp.asarray(lefts),
+        jnp.asarray(present), jnp.asarray(is_fwd),
+        jnp.asarray(lengths_p.astype(np.int32)))
+
+    out_lefts = np.asarray(out_lefts)[:R]
+    out_lengths = np.asarray(out_lengths)[:R].astype(np.int64)
+    sign = np.sign(starts[:, :])
+    return (sign * (out_lefts.astype(np.int64) + 1)), out_lengths
+
+
+# --------------------------------------------------------------------------
+# fused single-device pipeline (static shapes end to end)
+# --------------------------------------------------------------------------
+
+def _diagonal_signature(starts, valid):
+    """Per-row diagonal signature for candidate clustering.
+
+    Seeds of one maximal match share (participation mask, strand pattern,
+    per-genome diagonal offsets); on a common diagonal, candidates within
+    seed_len of each other are chain-connected and extend to the same
+    maximal match — so only one representative per cluster needs
+    extension.  This is the sort-native equivalent of MemHash's
+    dedup-before-extend (AddHashEntry offset buckets, MemHash.cpp:209-251).
+    """
+    R, G = starts.shape
+    present = starts != 0
+    pos = jnp.abs(starts).astype(jnp.int64) - 1
+    ref_idx = jnp.argmax(present, axis=1)
+    pos_ref = jnp.take_along_axis(pos, ref_idx[:, None], 1)[:, 0]
+    neg = starts < 0
+    # forward member: pos_g - pos_ref constant along the chain;
+    # reverse member: pos_g + pos_ref constant
+    delta = jnp.where(
+        present,
+        jnp.where(neg, pos + pos_ref[:, None], pos - pos_ref[:, None]),
+        jnp.int64(1) << 62)
+    weightsb = jnp.int64(1) << jnp.arange(G, dtype=jnp.int64)
+    maskbits = (present.astype(jnp.int64) * weightsb).sum(axis=1)
+    signbits = (neg.astype(jnp.int64) * weightsb).sum(axis=1)
+    invalid = (~valid).astype(jnp.int64)
+    return invalid, maskbits, signbits, delta, pos_ref
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _fused_mum_pipeline(seed_len: int, chunk: int, capacity: int,
+                        extend_capacity: int, repeat_limit: int,
+                        keys_posorder, keys, gid, pos,
+                        gen_off, gen_cnt):
+    """Seed table -> flags -> candidates -> diagonal clustering ->
+    batched extension of representatives -> dedup, on device, static
+    shapes throughout.
+
+    Returns (starts int32[extend_capacity, G], lengths, valid bool[...],
+    n_rows, n_reps): n_rows = surviving seed runs (must be <= capacity
+    for completeness), n_reps = diagonal-cluster representatives (must
+    be <= extend_capacity).
+    """
+    G = gen_off.shape[0]
+    content, gids, poss, strand = _sorted_seed_table(keys, gid, pos)
+    kept_occ, row_id, ref_strand, n_rows = _mum_seed_flags(
+        content, gids, poss, strand, 0, repeat_limit)
+
+    # scatter candidate rows (cheap arrays only at this capacity)
+    rid = jnp.where(kept_occ, jnp.minimum(row_id, capacity), capacity)
+    starts = jnp.zeros((capacity + 1, G), dtype=jnp.int32)
+    sign = jnp.where(strand == ref_strand, 1, -1).astype(jnp.int32)
+    starts = starts.at[rid, gids].set(sign * (poss + 1), mode="drop")
+    starts = starts[:capacity]
+    valid = jnp.arange(capacity) < jnp.minimum(n_rows, capacity)
+
+    # diagonal clustering: sort by signature, then cluster-break on any
+    # signature change or a ref-position gap > seed_len
+    invalid, maskbits, signbits, delta, pos_ref = _diagonal_signature(
+        starts, valid)
+    ops = (invalid, maskbits, signbits) + tuple(
+        delta[:, g] for g in range(G)) + (pos_ref,) + tuple(
+        starts[:, g] for g in range(G))
+    n_keys = 3 + G + 1
+    s = jax.lax.sort(ops, num_keys=n_keys, is_stable=False)
+    s_invalid, s_mask, s_sign = s[0], s[1], s[2]
+    s_delta = jnp.stack(s[3:3 + G], axis=1)
+    s_posref = s[3 + G]
+    s_starts = jnp.stack(s[4 + G:], axis=1)
+    sig_change = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s_mask[1:] != s_mask[:-1]) | (s_sign[1:] != s_sign[:-1])
+        | jnp.any(s_delta[1:] != s_delta[:-1], axis=1)
+        | (s_posref[1:] - s_posref[:-1] > seed_len)])
+    rep = sig_change & (s_invalid == 0)
+    n_reps = jnp.sum(rep.astype(jnp.int32))
+
+    # compact representatives to the front, slice to extend_capacity
+    comp_key = jnp.where(rep, 0, 1).astype(jnp.int32)
+    comp = jax.lax.sort(
+        (comp_key,) + tuple(s_starts[:, g] for g in range(G)),
+        num_keys=1, is_stable=True)
+    e_starts = jnp.stack(comp[1:], axis=1)[:extend_capacity]
+    e_valid = jnp.arange(extend_capacity) < jnp.minimum(
+        n_reps, extend_capacity)
+
+    present = (e_starts != 0) & e_valid[:, None]
+    lefts = jnp.where(present, jnp.abs(e_starts) - 1, 0)
+    is_fwd = e_starts > 0
+    lengths = jnp.full((extend_capacity,), seed_len, dtype=jnp.int32)
+    lefts, lengths = extend_matches(
+        keys_posorder, seed_len, chunk,
+        jnp.broadcast_to(gen_off, (extend_capacity, G)),
+        jnp.broadcast_to(gen_cnt, (extend_capacity, G)),
+        lefts, present, is_fwd, lengths)
+    out_starts = jnp.where(present, jnp.sign(e_starts) * (lefts + 1), 0)
+
+    # dedup: lexicographic sort of (starts..., length), mark first of run
+    sort_ops = tuple(out_starts[:, g] for g in range(G)) + (
+        lengths, (~e_valid).astype(jnp.int32))
+    sorted_ops = jax.lax.sort(sort_ops, num_keys=G + 2, is_stable=False)
+    srows = jnp.stack(sorted_ops[:G + 1], axis=1)
+    svalid = sorted_ops[G + 1] == 0
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(srows[1:] != srows[:-1], axis=1)])
+    uniq = svalid & first
+    return srows[:, :G], srows[:, G], uniq, n_rows, n_reps
+
+
+def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
+                     extend_capacity: int = 1 << 17,
+                     chunk: int | None = None,
+                     repeat_limit: int = MER_REPEAT_LIMIT):
+    """Fused device-side find_mums (default unique-MUM semantics).
+
+    One XLA computation: sort + segmented enumeration + diagonal
+    clustering + batched extension + dedup, with static capacities.
+    Returns (starts, lengths, valid, n_rows, n_reps) device arrays —
+    the hot path used by bench.py; `find_mums` is the exact-semantics
+    host orchestration.  capacity bounds candidate seed runs (defaults
+    to the table size rounded up to a power of two); extend_capacity
+    bounds diagonal-cluster representatives.
+    """
+    seed_len = smls[0].seed_length
+    if chunk is None:
+        chunk = max(seed_len, 128)
+    total = sum(s.n_windows for s in smls)
+    if capacity is None:
+        capacity = 1 << max(total - 1, 1).bit_length()
+    extend_capacity = min(extend_capacity, capacity)
+    keys_posorder = jnp.concatenate([s.keys for s in smls])
+    keys, gid, pos = (jnp.concatenate(x) for x in zip(*[
+        (s.keys, jnp.full((s.n_windows,), i, jnp.int32),
+         jnp.arange(s.n_windows, dtype=jnp.int32))
+        for i, s in enumerate(smls)]))
+    cnts = jnp.asarray(np.array([s.n_windows for s in smls], np.int32))
+    offs = jnp.asarray(np.concatenate(
+        [[0], np.cumsum([s.n_windows for s in smls])[:-1]]).astype(np.int32))
+    return _fused_mum_pipeline(seed_len, chunk, capacity, extend_capacity,
+                               repeat_limit, keys_posorder, keys, gid, pos,
+                               offs, cnts)
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def _as_smls(genomes_or_smls, seed: int | None):
+    if all(isinstance(x, SortedMerList) for x in genomes_or_smls):
+        smls = list(genomes_or_smls)
+        return smls, smls[0].seed
+    from libmems_tpu.sml import create_smls
+    genomes = [g if isinstance(g, Genome) else Genome.from_string(g)
+               for g in genomes_or_smls]
+    return create_smls(genomes, seed)
+
+
+def _seed_table(smls: list[SortedMerList]):
+    keys = jnp.concatenate([s.keys for s in smls])
+    gid = jnp.concatenate([
+        jnp.full((s.n_windows,), i, dtype=jnp.int32)
+        for i, s in enumerate(smls)])
+    pos = jnp.concatenate([
+        jnp.arange(s.n_windows, dtype=jnp.int32) for s in smls])
+    return _sorted_seed_table(keys, gid, pos)
+
+
+def find_mums(genomes_or_smls, seed: int | None = None,
+              repeat_tolerance: int = 0,
+              repeat_limit: int = MER_REPEAT_LIMIT,
+              min_multiplicity: int = 2,
+              extend: bool = True) -> MatchArray:
+    """Find multi-MUMs across N genomes (MemHash::FindMatches equivalent).
+
+    Default semantics match MemHash with repeat_tolerance=0 /
+    enumeration_tolerance=1: only seeds unique within every participating
+    genome generate matches (unique multi-MUMs).
+    """
+    smls, seed = _as_smls(genomes_or_smls, seed)
+    G = len(smls)
+    content, gid, pos, strand = _seed_table(smls)
+    kept_occ, row_id, ref_strand, n_rows = _mum_seed_flags(
+        content, gid, pos, strand, repeat_tolerance, repeat_limit)
+
+    n_rows = int(n_rows)
+    kept = np.asarray(kept_occ)
+    if n_rows == 0 or not kept.any():
+        return MatchArray.empty(G)
+
+    rid = np.asarray(row_id)[kept]
+    g = np.asarray(gid)[kept]
+    p = np.asarray(pos)[kept].astype(np.int64)
+    st = np.asarray(strand)[kept]
+    ref_st = np.asarray(ref_strand)[kept]
+
+    starts = np.zeros((n_rows, G), dtype=np.int64)
+    sign = np.where(st == ref_st, 1, -1).astype(np.int64)
+    starts[rid, g] = sign * (p + 1)
+
+    seed_len = smls[0].seed_length
+    lengths = np.full((n_rows,), seed_len, dtype=np.int64)
+    if extend:
+        starts, lengths = _cluster_reduce_np(starts, lengths, seed_len)
+        starts, lengths = _extend_rows(smls, starts, lengths)
+    out = MatchArray(starts, lengths).dedup()
+    if min_multiplicity > 2:
+        out = MatchArray(out.starts[out.multiplicity() >= min_multiplicity],
+                         out.lengths[out.multiplicity() >= min_multiplicity])
+    return out.canonical_sort()
+
+
+def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
+                       repeat_limit: int = MER_REPEAT_LIMIT,
+                       extend: bool = True) -> MatchArray:
+    """Find all pairwise MUMs from per-genome-unique seeds
+    (PairwiseMatchFinder::EnumerateMatches equivalent,
+    libMems/PairwiseMatchFinder.cpp:37-71) — the progressiveMauve seeder."""
+    smls, seed = _as_smls(genomes_or_smls, seed)
+    G = len(smls)
+    content, gid, pos, strand = _seed_table(smls)
+    unique_occ, run_id = _unique_occ_flags(content, gid, pos, strand,
+                                           repeat_limit)
+
+    uo = np.asarray(unique_occ)
+    if not uo.any():
+        return MatchArray.empty(G)
+    runs = np.asarray(run_id)[uo]
+    g = np.asarray(gid)[uo]
+    p = np.asarray(pos)[uo].astype(np.int64)
+    st = np.asarray(strand)[uo]
+
+    # expand each run's unique occurrences into all genome pairs
+    run_change = np.concatenate([[True], runs[1:] != runs[:-1]])
+    run_first = np.flatnonzero(run_change)
+    run_count = np.diff(np.concatenate([run_first, [len(runs)]]))
+    # pair index construction: for each run with k>=2 occurrences, emit
+    # all (i, j) with i<j, as global indices into the kept-occurrence list
+    ks = run_count
+    total = int(((ks * (ks - 1)) // 2).sum())
+    if total == 0:
+        return MatchArray.empty(G)
+    # expand per distinct occurrence-count k (k <= G, so few iterations)
+    ai_parts, bi_parts = [], []
+    for k in np.unique(ks):
+        if k < 2:
+            continue
+        base = run_first[ks == k]
+        ii, jj = np.triu_indices(int(k), 1)
+        ai_parts.append((base[:, None] + ii[None, :]).ravel())
+        bi_parts.append((base[:, None] + jj[None, :]).ravel())
+    a_idx = np.concatenate(ai_parts)
+    b_idx = np.concatenate(bi_parts)
+    total = len(a_idx)
+
+    starts = np.zeros((total, G), dtype=np.int64)
+    sign_b = np.where(st[b_idx] == st[a_idx], 1, -1).astype(np.int64)
+    starts[np.arange(total), g[a_idx]] = p[a_idx] + 1
+    starts[np.arange(total), g[b_idx]] = sign_b * (p[b_idx] + 1)
+
+    seed_len = smls[0].seed_length
+    lengths = np.full((total,), seed_len, dtype=np.int64)
+    if extend:
+        starts, lengths = _cluster_reduce_np(starts, lengths, seed_len)
+        starts, lengths = _extend_rows(smls, starts, lengths)
+    return MatchArray(starts, lengths).dedup().canonical_sort()

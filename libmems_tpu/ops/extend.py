@@ -1,0 +1,120 @@
+"""Batched ungapped maximal extension of match candidates.
+
+TPU-native replacement for MatchFinder::ExtendMatch
+(libMems/MatchFinder.h:218-374).  The reference extends one match at a
+time with seed-length jumps, unit-step probes, and restarts; the net
+semantics (equivalent, and property-tested against the oracle port in
+tests/oracle/refimpl.py) is:
+
+    repeatedly jump to the FURTHEST window offset within `seed_len` steps
+    at which every member genome's canonical spaced-seed mer is equal with
+    consistent strand parity; stop when no window in the next `seed_len`
+    offsets matches (or a sequence boundary truncates the probe range).
+
+Here all candidates extend simultaneously: each probe round gathers a
+`chunk` of window comparisons per candidate per side, and the furthest
+reachable offset under the gap<=seed_len stepping rule is computed with
+vector scans (no per-seed sequential walk).  Left/right extension are
+independent (left growth preserves right-side probe coordinates since the
+probe anchor is left+length), so the two sides run as separate while-loops.
+
+Parity trick: with canonical key = (content<<1 | strand_bit), the
+reference's per-genome parity (MatchFinder.h:283-289: !bit for forward
+rows, bit for reverse rows) makes windows match iff
+``key ^ is_forward`` is equal across member genomes.
+
+Rows address genomes through per-row (offset, window-count) tables, so a
+row may be a dense G-genome match (MemHash mode) or a compact 2-column
+pair (PairwiseMatchFinder mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def extend_matches(
+    keys_concat: jax.Array,      # unsigned[Ntot] canonical keys, all genomes
+    seed_len: int,
+    chunk: int,
+    gen_off: jax.Array,          # int32[R, G] offset of the row's genome g
+    gen_cnt: jax.Array,          # int32[R, G] window count of the row's genome g
+    lefts: jax.Array,            # int32[R, G] 0-based left ends
+    present: jax.Array,          # bool[R, G]
+    is_fwd: jax.Array,           # bool[R, G] (column 0 / first present = True)
+    lengths: jax.Array,          # int32[R] current match length in columns
+):
+    """Extend candidates to maximal matches. Returns (lefts, lengths)."""
+    if chunk < seed_len:
+        raise ValueError("chunk must be >= seed_len")
+    R, G = lefts.shape
+    d = jnp.arange(1, chunk + 1, dtype=jnp.int32)  # probe offsets
+
+    ref_idx = jnp.argmax(present, axis=1).astype(jnp.int32)
+    fwd_flip = is_fwd.astype(keys_concat.dtype)  # parity adjustment bit
+
+    def probe_round(side, lefts, lengths, active):
+        l = lefts[:, None, :]                       # (R, 1, G)
+        ln = lengths[:, None, None]                 # (R, 1, 1)
+        dd = d[None, :, None]                       # (1, C, 1)
+        fwd = is_fwd[:, None, :]
+        back_q = l - dd
+        ahead_q = l + ln - seed_len + dd
+        q = jnp.where(fwd, back_q if side == 0 else ahead_q,
+                      ahead_q if side == 0 else back_q)
+        cnt = gen_cnt[:, None, :]
+        valid = (q >= 0) & (q < cnt)
+        qc = jnp.clip(q, 0, cnt - 1) + gen_off[:, None, :]
+        keys = keys_concat[qc] ^ fwd_flip[:, None, :]
+        ref_keys = jnp.take_along_axis(
+            keys, jnp.broadcast_to(ref_idx[:, None, None], (R, chunk, 1)), axis=2)
+        ok = jnp.where(present[:, None, :], valid & (keys == ref_keys), True)
+        match = jnp.all(ok, axis=2) & active[:, None]  # (R, C)
+
+        # furthest offset reachable with gaps <= seed_len between matches
+        dm = jnp.where(match, d[None, :], 0)
+        pm_incl = jax.lax.cummax(dm, axis=1)
+        pm_excl = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.int32), pm_incl[:, :-1]], axis=1)
+        bad = match & (d[None, :] - pm_excl > seed_len)
+        first_bad = jnp.min(jnp.where(bad, d[None, :], chunk + 1), axis=1)
+        reach = jnp.max(
+            jnp.where(match & (d[None, :] < first_bad[:, None]), d[None, :], 0),
+            axis=1)  # (R,)
+
+        # advance: the side's moving genomes shift left by `reach`
+        movers = is_fwd if side == 0 else ~is_fwd
+        lefts = jnp.where(movers & present & active[:, None],
+                          lefts - reach[:, None], lefts)
+        lengths = jnp.where(active, lengths + reach, lengths)
+
+        # boundary headroom after advancing: can the chain continue past C?
+        back_room = lefts
+        ahead_room = (gen_cnt - 1) - (lefts + lengths[:, None] - seed_len)
+        room = jnp.where(is_fwd, back_room if side == 0 else ahead_room,
+                         ahead_room if side == 0 else back_room)
+        room = jnp.min(jnp.where(present, room, jnp.int32(2**30)), axis=1)
+        active = active & (reach + seed_len > chunk) & (room + reach > chunk)
+        return lefts, lengths, active
+
+    def run_side(side, lefts, lengths):
+        def cond(carry):
+            _, _, active = carry
+            return jnp.any(active)
+
+        def body(carry):
+            lefts, lengths, active = carry
+            return probe_round(side, lefts, lengths, active)
+
+        active0 = jnp.any(present, axis=1)
+        lefts, lengths, _ = jax.lax.while_loop(
+            cond, body, (lefts, lengths, active0))
+        return lefts, lengths
+
+    lefts, lengths = run_side(0, lefts, lengths)
+    lefts, lengths = run_side(1, lefts, lengths)
+    return lefts, lengths

@@ -1,0 +1,173 @@
+"""Sorted Mer List (SML): canonical spaced-seed mer index of one genome.
+
+TPU-native equivalent of the reference's SortedMerList / DNAMemorySML /
+DNAFileSML (libMems/SortedMerList.{h,cpp}, MemorySML.cpp, FileSML.cpp).
+Where the reference fills a bmer array with a sequential rolling 2-bit
+window and std::sorts 16-byte records, here the whole index is three
+device arrays produced by vector ops + one `jax.lax.sort`:
+
+* ``keys``:  canonical seed key per window position, position order
+  (= (content << 1) | strand_bit; see libmems_tpu.ops.mers)
+* ``sorted_keys`` / ``sorted_positions``: the SML proper — (key, position)
+  pairs ordered by key then position.
+
+The out-of-core dmSML path (dmSML/dmsort.c) has no TPU counterpart here:
+genomes that exceed single-chip HBM are handled by the seed-prefix-range
+sharding in libmems_tpu.parallel instead (each shard sorts its key range
+independently — the same key-range partitioning idea dmSML used across
+scratch disks, now across devices).
+
+Persistence mirrors FileSML's header+data layout in spirit (load if the
+file exists and the seed matches, else recreate — MatchList::LoadSMLs,
+libMems/MatchList.h:261-349) using a defined little-endian numpy layout
+rather than the reference's compiler-dependent C struct bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libmems_tpu import _jaxconfig  # noqa: F401
+from libmems_tpu import seeds as seedlib
+from libmems_tpu.ops.mers import canonical_seed_keys, canonical_seed_keys_np, key_dtype
+from libmems_tpu.sequence import Genome
+
+_MAGIC = b"SMLT0001"  # libmems_tpu SML file format v1
+
+
+@jax.jit
+def _sort_by_key(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
+    positions = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    return jax.lax.sort((keys, positions), num_keys=1, is_stable=True)
+
+
+@dataclass
+class SortedMerList:
+    """Canonical spaced-seed mer index of one genome (device arrays)."""
+
+    seed: int
+    length: int                    # genome length in bases
+    keys: jax.Array                # canonical key per window, position order
+    sorted_keys: jax.Array
+    sorted_positions: jax.Array    # int32, window positions ordered by key
+    circular: bool = False
+    filename: str = ""
+
+    @property
+    def seed_length(self) -> int:
+        return seedlib.seed_length(self.seed)
+
+    @property
+    def seed_weight(self) -> int:
+        return seedlib.seed_weight(self.seed)
+
+    @property
+    def n_windows(self) -> int:
+        """Number of seed windows (SMLSize): length - seed_length + 1."""
+        return int(self.keys.shape[0])
+
+    @staticmethod
+    def create(genome_or_codes, seed: int, circular: bool = False,
+               filename: str = "") -> "SortedMerList":
+        """Build the SML on device (SortedMerList::Create + std::sort
+        equivalent, libMems/SortedMerList.cpp:786, FileSML.cpp:344)."""
+        if isinstance(genome_or_codes, Genome):
+            codes = genome_or_codes.codes
+            filename = filename or genome_or_codes.filename
+            circular = circular or genome_or_codes.circular
+        else:
+            codes = np.asarray(genome_or_codes, dtype=np.uint8)
+        if circular:
+            # circular sequences wrap seed_length-1 characters
+            # (SortedMerList::Create, SortedMerList.cpp:797-800)
+            codes = np.concatenate([codes, codes[: seedlib.seed_length(seed) - 1]])
+            length = len(codes) - (seedlib.seed_length(seed) - 1)
+        else:
+            length = len(codes)
+        keys = canonical_seed_keys(jnp.asarray(codes), seed)
+        skeys, spos = _sort_by_key(keys)
+        return SortedMerList(seed=seed, length=int(length), keys=keys,
+                             sorted_keys=skeys, sorted_positions=spos,
+                             circular=circular, filename=filename)
+
+    def unique_mer_count(self) -> int:
+        """Number of distinct canonical mer contents
+        (SortedMerList::GetUniqueMerCount, SortedMerList.cpp:465-505)."""
+        contents = np.asarray(self.sorted_keys) >> 1
+        if contents.size == 0:
+            return 0
+        return int(1 + (contents[1:] != contents[:-1]).sum())
+
+    # -- persistence (FileSML load-or-create semantics) ------------------
+
+    def save(self, path: str | os.PathLike):
+        path = os.fspath(path)
+        with open(path, "wb") as fh:
+            fh.write(_MAGIC)
+            header = np.array(
+                [self.seed, self.length, int(self.circular),
+                 self.n_windows], dtype="<u8")
+            fh.write(header.tobytes())
+            np.asarray(self.keys).astype("<u8").tofile(fh)
+            np.asarray(self.sorted_positions).astype("<i4").tofile(fh)
+
+    @staticmethod
+    def load(path: str | os.PathLike) -> "SortedMerList":
+        path = os.fspath(path)
+        with open(path, "rb") as fh:
+            magic = fh.read(8)
+            if magic != _MAGIC:
+                raise ValueError(f"{path}: not a libmems_tpu SML file")
+            seed, length, circular, n = np.frombuffer(fh.read(32), dtype="<u8")
+            keys64 = np.fromfile(fh, dtype="<u8", count=int(n))
+            spos = np.fromfile(fh, dtype="<i4", count=int(n))
+        dt = key_dtype(int(seed))
+        keys = jnp.asarray(keys64.astype(dt))
+        skeys = jnp.asarray(keys64[spos].astype(dt))
+        return SortedMerList(seed=int(seed), length=int(length), keys=keys,
+                             sorted_keys=jnp.asarray(skeys),
+                             sorted_positions=jnp.asarray(spos),
+                             circular=bool(circular), filename=path)
+
+    @staticmethod
+    def load_or_create(genome: Genome, seed: int,
+                       sml_path: str | os.PathLike | None = None,
+                       circular: bool = False) -> "SortedMerList":
+        """Load the SML if present with a matching seed, else (re)create —
+        MatchList::LoadSMLs semantics (libMems/MatchList.h:261-349,
+        seed-mismatch recreate h:297-302)."""
+        if sml_path is not None and os.path.exists(sml_path):
+            try:
+                sml = SortedMerList.load(sml_path)
+                if sml.seed == seed and sml.length == len(genome):
+                    return sml
+            except (ValueError, OSError):
+                pass
+        sml = SortedMerList.create(genome, seed, circular=circular)
+        if sml_path is not None:
+            sml.save(sml_path)
+        return sml
+
+
+def default_seed(genomes: list[Genome], seed_rank: int = 0) -> int:
+    """Default seed pattern for a set of genomes
+    (MatchList::GetDefaultMerSize, libMems/MatchList.h:351-357)."""
+    if not genomes:
+        raise ValueError("no genomes")
+    avg = sum(len(g) for g in genomes) // len(genomes)
+    weight = seedlib.default_seed_weight(avg)
+    return seedlib.get_seed(weight, seed_rank)
+
+
+def create_smls(genomes: list[Genome], seed: int | None = None,
+                seed_rank: int = 0) -> tuple[list[SortedMerList], int]:
+    """Create in-memory SMLs for all genomes
+    (MatchList::CreateMemorySMLs, libMems/MatchList.h:407-435)."""
+    if seed is None:
+        seed = default_seed(genomes, seed_rank)
+    return [SortedMerList.create(g, seed) for g in genomes], seed

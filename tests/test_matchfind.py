@@ -1,0 +1,139 @@
+"""MUM discovery parity: TPU pipeline vs loop-faithful reference oracle.
+
+Covers MemHash default semantics (unique multi-MUMs) and
+PairwiseMatchFinder semantics on synthetic genomes with point mutations,
+reverse-complemented segments, rearrangements, and repeats.
+"""
+
+import numpy as np
+import pytest
+
+from libmems_tpu import seeds as seedlib
+from libmems_tpu.match import MatchArray
+from libmems_tpu.matchfind import find_mums, find_pairwise_mums
+from tests.oracle.refimpl import (find_mums_oracle, find_pairwise_oracle,
+                                  match_set)
+
+ALPHA = np.array(list("ACGT"))
+
+
+def rc(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def random_seq(rng, n):
+    return "".join(rng.choice(ALPHA, size=n))
+
+
+def mutate(rng, s, rate):
+    chars = np.array(list(s))
+    idx = rng.random(len(chars)) < rate
+    chars[idx] = rng.choice(ALPHA, size=idx.sum())
+    return "".join(chars)
+
+
+def _check_mums(seqs, seed, **kw):
+    got = find_mums(seqs, seed, **kw)
+    want = match_set(find_mums_oracle(seqs, seed, **{
+        k: v for k, v in kw.items() if k in ("repeat_tolerance",)}))
+    assert got.key_set() == want
+
+
+def _check_pairwise(seqs, seed):
+    got = find_pairwise_mums(seqs, seed)
+    want = match_set(find_pairwise_oracle(seqs, seed))
+    assert got.key_set() == want
+
+
+@pytest.mark.parametrize("seedspec", [(5, 0), (7, 0), (9, 0)])
+def test_pairwise_mutated(seedspec):
+    seed = seedlib.get_seed(*seedspec)
+    rng = np.random.default_rng(1)
+    a = random_seq(rng, 500)
+    b = mutate(rng, a, 0.03)
+    _check_mums([a, b], seed)
+    _check_pairwise([a, b], seed)
+
+
+def test_reverse_complement_segment():
+    seed = seedlib.get_seed(7, 0)
+    rng = np.random.default_rng(2)
+    a = random_seq(rng, 600)
+    b = a[:200] + rc(a[200:400]) + a[400:]
+    _check_mums([a, b], seed)
+    _check_pairwise([a, b], seed)
+
+
+def test_rearrangement():
+    seed = seedlib.get_seed(7, 0)
+    rng = np.random.default_rng(3)
+    blocks = [random_seq(rng, 150) for _ in range(4)]
+    a = "".join(blocks)
+    b = blocks[2] + blocks[0] + rc(blocks[3]) + blocks[1]
+    _check_mums([a, b], seed)
+
+
+def test_three_genomes():
+    seed = seedlib.get_seed(7, 0)
+    rng = np.random.default_rng(4)
+    a = random_seq(rng, 400)
+    b = mutate(rng, a, 0.02)
+    c = mutate(rng, a, 0.05)
+    _check_mums([a, b, c], seed)
+    _check_pairwise([a, b, c], seed)
+
+
+def test_repeats_are_dropped():
+    """A segment duplicated within one genome kills its seeds in default
+    unique-MUM mode (repeat_tolerance=0)."""
+    seed = seedlib.get_seed(5, 0)
+    rng = np.random.default_rng(5)
+    core = random_seq(rng, 120)
+    a = core + random_seq(rng, 80) + core  # internal repeat
+    b = core + random_seq(rng, 60)
+    _check_mums([a, b], seed)
+    _check_pairwise([a, b], seed)
+
+
+def test_identical_genomes():
+    seed = seedlib.get_seed(7, 0)
+    rng = np.random.default_rng(6)
+    a = random_seq(rng, 300)
+    _check_mums([a, a], seed)
+
+
+def test_short_and_empty_overlap():
+    seed = seedlib.get_seed(5, 0)
+    rng = np.random.default_rng(7)
+    a = random_seq(rng, 60)
+    b = random_seq(rng, 60)  # likely no shared seeds
+    got = find_mums([a, b], seed)
+    want = match_set(find_mums_oracle([a, b], seed))
+    assert got.key_set() == want
+
+
+def test_four_genome_multiplicity():
+    seed = seedlib.get_seed(7, 0)
+    rng = np.random.default_rng(8)
+    a = random_seq(rng, 350)
+    seqs = [a] + [mutate(rng, a, r) for r in (0.01, 0.04, 0.08)]
+    _check_mums(seqs, seed)
+    got3 = find_mums(seqs, seed, min_multiplicity=4)
+    assert (got3.multiplicity() >= 4).all()
+    full = find_mums(seqs, seed)
+    want = {k for k in full.key_set()
+            if sum(1 for s in k[0] if s != 0) >= 4}
+    assert got3.key_set() == want
+
+
+def test_multiplicity_and_length_filters():
+    seed = seedlib.get_seed(5, 0)
+    rng = np.random.default_rng(9)
+    a = random_seq(rng, 200)
+    b = mutate(rng, a, 0.05)
+    m = find_mums([a, b], seed)
+    lf = m.length_filter(20)
+    assert (lf.lengths >= 20).all()
+    mf = m.multiplicity_filter(2)
+    assert len(mf) == len(m)
