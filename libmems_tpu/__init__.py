@@ -37,6 +37,11 @@ from libmems_tpu.match import MatchArray
 from libmems_tpu.matchfind import find_mums, find_pairwise_mums, find_mums_device
 from libmems_tpu.aligner import AlignerConfig, align
 from libmems_tpu.interval import Interval, IntervalList, write_xmfa, read_xmfa
+from libmems_tpu.tree import TreeNode, neighbor_joining, midpoint_root, \
+    parse_newick, write_newick
+from libmems_tpu.distance import distance_matrix, identity_matrix, \
+    single_copy_distance
+from libmems_tpu.msa import align_codes, refine
 
 __all__ = [
     "seeds",
@@ -57,6 +62,16 @@ __all__ = [
     "IntervalList",
     "write_xmfa",
     "read_xmfa",
+    "TreeNode",
+    "neighbor_joining",
+    "midpoint_root",
+    "parse_newick",
+    "write_newick",
+    "distance_matrix",
+    "identity_matrix",
+    "single_copy_distance",
+    "align_codes",
+    "refine",
 ]
 
 __version__ = "0.1.0"

@@ -22,13 +22,18 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import numpy as np
+
+from libmems_tpu.distance import distance_matrix
 from libmems_tpu.gbe import eliminate_below_weight, surviving_members
-from libmems_tpu.interval import Interval, IntervalList, interval_from_matches
+from libmems_tpu.interval import Interval, Block, IntervalList, \
+    interval_from_matches
 from libmems_tpu.lcb import compute_lcb_set, eliminate_overlaps
 from libmems_tpu.match import MatchArray
 from libmems_tpu.matchfind import find_mums
 from libmems_tpu.sequence import Genome
 from libmems_tpu.sml import create_smls
+from libmems_tpu.tree import TreeNode, midpoint_root, neighbor_joining
 from libmems_tpu import seeds as seedlib
 
 
@@ -42,11 +47,47 @@ class AlignerConfig:
     min_lcb_weight: float | None = None  # None = 3 * seed_weight * n
     repeat_tolerance: int = 0
     gapped_alignment: bool = False    # anchors-only when False
+    max_gapped_window: int = 10000    # GappedAligner.h:25
+    recursive: bool = True            # re-seed inter-anchor gaps
+                                      # (Aligner::Recursion, Aligner.cpp:1078)
+    min_recursive_gap: int = 32       # skip tiny gaps (DP handles them)
+
+
+def add_unaligned_intervals(intervals: list[Interval],
+                            genomes: list[Genome]) -> list[Interval]:
+    """Append single-genome intervals covering every base outside all
+    LCBs, so the output is a full partition of every genome
+    (addUnalignedIntervals, libMems/Aligner.cpp:2284 / Islands.h:318)."""
+    G = len(genomes)
+    out = list(intervals)
+    for g in range(G):
+        covered = []
+        for iv in intervals:
+            le = int(iv.left_ends()[g])
+            if le == 0:
+                continue
+            covered.append((le, int(iv.right_ends()[g])))
+        covered.sort()
+        cursor = 1
+        ranges = []
+        for lo, hi in covered:
+            if lo > cursor:
+                ranges.append((cursor, lo - 1))
+            cursor = max(cursor, hi + 1)
+        if cursor <= len(genomes[g]):
+            ranges.append((cursor, len(genomes[g])))
+        for lo, hi in ranges:
+            s = np.zeros(G, dtype=np.int64)
+            l = np.zeros(G, dtype=np.int64)
+            s[g], l[g] = lo, hi - lo + 1
+            out.append(Interval(blocks=[Block(s, l)], seq_count=G))
+    return out
 
 
 def align(genomes: list[Genome], config: AlignerConfig | None = None
           ) -> tuple[IntervalList, MatchArray]:
-    """Run the flat N-way anchoring pipeline; returns (intervals, mums)."""
+    """Run the flat N-way pipeline (Aligner::align, Aligner.cpp:2193-2286);
+    returns (intervals, mums)."""
     cfg = config or AlignerConfig()
     seq_count = len(genomes)
     if seq_count < 2:
@@ -70,5 +111,23 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
     eliminate_below_weight(lcbs, float(min_weight))
     members = surviving_members(lcbs)
 
-    intervals = [interval_from_matches(mums, idx) for idx in members]
+    if not cfg.gapped_alignment:
+        intervals = [interval_from_matches(mums, idx) for idx in members]
+        return IntervalList(intervals, list(genomes)), mums
+
+    # NJ guide tree from anchor identity (Aligner.cpp:2230-2240) drives
+    # both recursion seeding and the MSA merge order
+    dm = distance_matrix(mums, [len(g) for g in genomes])
+    tree = midpoint_root(neighbor_joining(dm))
+
+    if cfg.recursive:
+        from libmems_tpu.recursion import recursive_anchor_fill
+        mums, members = recursive_anchor_fill(
+            mums, members, genomes, seed,
+            min_gap=cfg.min_recursive_gap)
+
+    from libmems_tpu.gapalign import align_lcbs
+    intervals = align_lcbs(mums, members, genomes, tree,
+                           max_window=cfg.max_gapped_window)
+    intervals = add_unaligned_intervals(intervals, genomes)
     return IntervalList(intervals, list(genomes)), mums

@@ -1,0 +1,165 @@
+"""Recursive inter-anchor anchoring: re-seed the gaps between anchors
+with smaller spaced seeds.
+
+Equivalent of Aligner::Recursion (libMems/Aligner.cpp:1078-1291) and the
+per-gap re-search of SearchWithinLCB (:1472-1583): for every gap between
+consecutive anchors of an LCB, build small in-memory SMLs over the gap
+fragments with a seed sized for the gap (MatchList::GetDefaultMerSize
+semantics), find MUMs among the fragments, translate their coordinates
+back into the global frame, and keep a collinear chain consistent with
+the enclosing LCB.  Repeats until no gap yields new anchors.
+
+The fragment-local searches reuse the device MUM pipeline
+(libmems_tpu.matchfind); coordinate translation is pure index algebra on
+signed starts (AbstractMatch sign conventions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libmems_tpu import seeds as seedlib
+from libmems_tpu.match import MatchArray, NO_MATCH
+from libmems_tpu.matchfind import find_mums
+from libmems_tpu.sequence import Genome, revcomp_ascii, translate_dna
+from libmems_tpu.sml import SortedMerList
+
+
+def _local_to_global(sl: int, L: int, gs: int, n: int) -> int:
+    """Translate a signed fragment-local 1-based start to a signed
+    global start.  gs = fragment's signed global start, n = fragment
+    length."""
+    if sl > 0:
+        if gs > 0:
+            return gs + sl - 1
+        return -(abs(gs) + n - (sl - 1) - L)
+    if gs > 0:
+        return -(gs + abs(sl) - 1)
+    return abs(gs) + n - (abs(sl) - 1) - L
+
+
+def _chain_collinear(starts: np.ndarray, lengths: np.ndarray
+                     ) -> np.ndarray:
+    """Greedy collinear chain filter over fragment-local matches: keep
+    matches whose every genome's local start is positive (consistent
+    relative orientation) and strictly non-overlapping/increasing in all
+    genomes along the genome-0 order."""
+    n = len(lengths)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    ok_fwd = (starts > 0).all(axis=1)
+    idx = np.flatnonzero(ok_fwd)
+    if idx.size == 0:
+        return idx
+    order = idx[np.argsort(starts[idx, 0], kind="stable")]
+    kept = []
+    prev_end = None
+    for i in order:
+        s = starts[i]
+        if prev_end is not None and not (s > prev_end).all():
+            continue
+        kept.append(i)
+        prev_end = s + lengths[i] - 1
+    return np.array(kept, dtype=np.int64)
+
+
+def _gap_windows(starts: np.ndarray, lengths: np.ndarray, G: int):
+    """Per consecutive anchor pair: (insert_after_row, gap_starts[G],
+    gap_lens[G]) in LCB order (genome-0 ascending)."""
+    from libmems_tpu.gapalign import _gap_region
+    out = []
+    for i in range(1, len(lengths)):
+        gs = np.zeros(G, dtype=np.int64)
+        gl = np.zeros(G, dtype=np.int64)
+        for g in range(G):
+            sp, sc = int(starts[i - 1, g]), int(starts[i, g])
+            if sp == NO_MATCH or sc == NO_MATCH:
+                continue
+            s, l = _gap_region(sp, int(lengths[i - 1]), sc, int(lengths[i]))
+            gs[g], gl[g] = s, l
+        out.append((i, gs, gl))
+    return out
+
+
+def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
+               gap_lens: np.ndarray, seed: int) -> MatchArray:
+    """Find MUMs among the gap fragments; returns matches in GLOBAL
+    signed coordinates (pairwiseAnchorSearch / SearchWithinLCB analog)."""
+    G = len(genomes)
+    seed_len = seedlib.seed_length(seed)
+    frags = []
+    members = []
+    for g in range(G):
+        if gap_lens[g] < seed_len:
+            continue
+        le = abs(int(gap_starts[g]))
+        a = genomes[g].ascii[le - 1: le - 1 + int(gap_lens[g])]
+        if gap_starts[g] < 0:
+            a = revcomp_ascii(a)
+        frags.append(translate_dna(a))
+        members.append(g)
+    if len(members) < 2:
+        return MatchArray.empty(G)
+    smls = [SortedMerList.create(f, seed) for f in frags]
+    local = find_mums(smls)
+    if len(local) == 0:
+        return MatchArray.empty(G)
+    # only matches including every fragment genome stay anchors
+    local = local.multiplicity_filter(len(members))
+    keep = _chain_collinear(local.starts, local.lengths)
+    if keep.size == 0:
+        return MatchArray.empty(G)
+    gstarts = np.zeros((keep.size, G), dtype=np.int64)
+    for row, i in enumerate(keep):
+        for m, g in enumerate(members):
+            gstarts[row, g] = _local_to_global(
+                int(local.starts[i, m]), int(local.lengths[i]),
+                int(gap_starts[g]), int(gap_lens[g]))
+    return MatchArray(gstarts, local.lengths[keep])
+
+
+def recursive_anchor_fill(matches: MatchArray, members: list[np.ndarray],
+                          genomes: list[Genome], seed: int,
+                          min_gap: int = 32, max_rounds: int = 3
+                          ) -> tuple[MatchArray, list[np.ndarray]]:
+    """Iteratively densify every LCB's anchor set (Recursion equivalent).
+
+    Returns (matches', members'): the input MatchArray extended with the
+    newly found gap anchors, and updated member index lists.
+    """
+    G = len(genomes)
+    for _ in range(max_rounds):
+        new_rows: list[np.ndarray] = []
+        new_lens: list[int] = []
+        grew = False
+        next_members = []
+        for idx in members:
+            s = matches.starts[idx]
+            l = matches.lengths[idx]
+            order = np.argsort(np.abs(s[:, 0]), kind="stable")
+            s, l, idx = s[order], l[order], idx[order]
+            member_rows = list(idx)
+            for _, gs, gl in _gap_windows(s, l, G):
+                active = gl[gl > 0]
+                if active.size < 2 or int(gl.max()) < min_gap:
+                    continue
+                gap_seed_w = seedlib.default_seed_weight(int(active.mean()))
+                if gap_seed_w == 0:
+                    continue
+                gap_seed = seedlib.get_seed(
+                    min(gap_seed_w, seedlib.seed_weight(seed)), 0)
+                found = search_gap(genomes, gs, gl, gap_seed)
+                for row, ln in zip(found.starts, found.lengths):
+                    member_rows.append(matches.n_matches + len(new_rows))
+                    new_rows.append(row)
+                    new_lens.append(int(ln))
+                    grew = True
+            next_members.append(np.array(member_rows, dtype=np.int64))
+        if not grew:
+            break
+        matches = MatchArray(
+            np.concatenate([matches.starts, np.stack(new_rows)]),
+            np.concatenate([matches.lengths,
+                            np.array(new_lens, dtype=np.int64)]))
+        members = next_members
+    return matches, members
