@@ -1,0 +1,648 @@
+"""Progressive multiple-genome alignment up a guide tree.
+
+TPU-native rebuild of ProgressiveAligner (libMems/ProgressiveAligner.
+{h,cpp}) — the progressiveMauve pipeline:
+
+1. pairwise MUM seeding from per-genome-unique seeds
+   (PairwiseMatchFinder, via libmems_tpu.matchfind.find_pairwise_mums);
+2. genome-content distance (SingleCopyDistanceMatrix) → NJ guide tree →
+   midpoint rooting (PA.cpp:3821-3864);
+3. per-genome SeedOccurrenceList construction for uniqueness-scaled
+   anchor scores (PA.cpp:3899, GetPairwiseAnchorScore);
+4. postorder over the tree: align each internal node's two children
+   (alignProfileToProfile, PA.cpp:2030-2620) —
+   a. project the stored leaf-pair matches into both children's
+      ancestral column spaces (translateGappedCoordinates analog: the
+      column maps of the child alignments), splitting matches at child
+      block boundaries (propagateDescendantBreakpoints analog);
+   b. anchor selection: leaf-space overlap elimination, column-space
+      conflict pruning, LCB formation + greedy breakpoint elimination
+      with uniqueness-scaled sum-of-pairs anchor scores and the default
+      breakpoint penalty log2(avg_len)·7000 (PA.cpp:108-118);
+   c. within each LCB, zip anchor regions column-exactly through the
+      leaf-pair correspondence and align inter-anchor windows with the
+      batched profile DP (the MUSCLE replacement);
+   d. ancestral leftovers (columns in no LCB) carry forward unaligned
+      (addUnalignedIntervals_v2 analog);
+5. at the root, blocks become the IntervalList (extractAlignment,
+   PA.cpp:3225).
+
+Architectural departure from the reference (deliberate, TPU-first): node
+alignments are CompactAlignment bit matrices with prefix-sum coordinate
+maps rather than SuperInterval/Match* object forests, every DP window
+across all node pairs is batched onto the device, and the sum-of-pairs
+scorer collapses the reference's per-leaf-pair LCB matrices onto the
+ancestral LCB decomposition (scores are summed over leaf pairs; the
+greedy search itself is identical in objective shape).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from libmems_tpu.anchorscore import (pairwise_anchor_scores,
+                                     seed_occurrence_list)
+from libmems_tpu.cga import CompactAlignment, merge_with_gap_masks
+from libmems_tpu.distance import single_copy_distance
+from libmems_tpu.gbe import SimpleBreakpointScorer, \
+    greedy_breakpoint_elimination, surviving_members
+from libmems_tpu.interval import Block, Interval, IntervalList
+from libmems_tpu.lcb import compute_adjacencies, compute_lcbs, \
+    eliminate_overlaps, identify_breakpoints
+from libmems_tpu.match import MatchArray, NO_MATCH
+from libmems_tpu.matchfind import find_pairwise_mums
+from libmems_tpu.msa import MAX_ALIGNMENT_LENGTH
+from libmems_tpu.ops.profile import GAP_CODE, align_profile_batch
+from libmems_tpu.scoring import ascii_rows_to_codes
+from libmems_tpu.sequence import Genome
+from libmems_tpu.sml import create_smls
+from libmems_tpu.tree import (TreeNode, alignment_order, midpoint_root,
+                              neighbor_joining)
+
+
+def default_breakpoint_penalty(seq_lengths: list[int]) -> float:
+    """log2(avg_len) * 7000 (ProgressiveAligner.cpp:108-118)."""
+    avg = sum(seq_lengths) / max(len(seq_lengths), 1)
+    if avg <= 1:
+        return 7000.0
+    return math.log2(avg) * 7000.0
+
+
+@dataclass
+class ProgressiveConfig:
+    seed: int | None = None
+    seed_rank: int = 0
+    breakpoint_penalty: float | None = None   # None = log2(avg)*7000
+    max_gapped_window: int = MAX_ALIGNMENT_LENGTH
+    refine: bool = True                       # windowed refinement pass
+    min_anchor_score: float = 0.0
+
+
+@dataclass
+class NodeAlignment:
+    """One tree node's alignment: ordered CompactAlignment blocks over
+    this node's descendant leaves (SuperInterval list analog,
+    libMems/SuperInterval.h)."""
+
+    leaf_ids: list[int]
+    blocks: list[CompactAlignment]
+
+    def row_of(self, gid: int) -> int:
+        return self.leaf_ids.index(gid)
+
+    def block_ranges(self, gid: int):
+        """(lefts, rights, block_idx) sorted arrays for binary search of
+        a leaf's forward-strand positions."""
+        row = self.row_of(gid)
+        lefts, rights, idxs = [], [], []
+        for bi, blk in enumerate(self.blocks):
+            le = int(blk.left_ends()[row])
+            if le == 0:
+                continue
+            lefts.append(le)
+            rights.append(int(blk.right_ends()[row]))
+            idxs.append(bi)
+        order = np.argsort(lefts)
+        return (np.array(lefts)[order], np.array(rights)[order],
+                np.array(idxs)[order])
+
+
+def leaf_alignment(gid: int, genome: Genome) -> NodeAlignment:
+    return NodeAlignment(
+        leaf_ids=[gid],
+        blocks=[CompactAlignment.ungapped(np.array([1]), len(genome))])
+
+
+# --------------------------------------------------------------------------
+# match projection into ancestral column space
+# --------------------------------------------------------------------------
+
+@dataclass
+class Anchor:
+    """A leaf-pair match projected onto two node alignments."""
+
+    b1: int              # block index in node 1
+    b2: int
+    c1_lo: int           # inclusive column range in block 1
+    c1_hi: int
+    c2_lo: int
+    c2_hi: int
+    forward: bool        # column orientation: True if increasing c1
+                         # pairs with increasing c2
+    length: int          # leaf characters
+    score: float
+    g1: int              # leaf genome ids
+    g2: int
+    p1: int              # forward-strand leaf start (1-based)
+    p2: int
+    rel: bool            # leaf-space relative orientation of the match
+
+
+def _project_side(aln: NodeAlignment, gid: int, p_lo: int, p_hi: int):
+    """Split a forward-strand leaf range [p_lo, p_hi] at block
+    boundaries.  Yields (block_idx, lo, hi) sub-ranges."""
+    lefts, rights, idxs = aln.block_ranges(gid)
+    i = int(np.searchsorted(rights, p_lo))
+    out = []
+    while i < len(lefts) and lefts[i] <= p_hi:
+        lo = max(p_lo, int(lefts[i]))
+        hi = min(p_hi, int(rights[i]))
+        if lo <= hi:
+            out.append((int(idxs[i]), lo, hi))
+        i += 1
+    return out
+
+
+def project_matches(matches: MatchArray, scores: np.ndarray,
+                    aln1: NodeAlignment, aln2: NodeAlignment
+                    ) -> list[Anchor]:
+    """Translate leaf-pair matches into column anchors, splitting at both
+    sides' block boundaries."""
+    set1 = set(aln1.leaf_ids)
+    set2 = set(aln2.leaf_ids)
+    anchors: list[Anchor] = []
+    present = matches.starts != NO_MATCH
+    for mi in range(len(matches)):
+        gids = np.flatnonzero(present[mi])
+        if len(gids) != 2:
+            continue
+        ga, gb = int(gids[0]), int(gids[1])
+        if ga in set1 and gb in set2:
+            g1, g2 = ga, gb
+        elif gb in set1 and ga in set2:
+            g1, g2 = gb, ga
+        else:
+            continue
+        L = int(matches.lengths[mi])
+        s1 = int(matches.starts[mi, g1])
+        s2 = int(matches.starts[mi, g2])
+        rel = (s1 > 0) == (s2 > 0)
+        p1_lo = abs(s1)
+        p2_lo = abs(s2)
+        # split at side-1 block boundaries first, then side-2
+        for b1, lo1, hi1 in _project_side(aln1, g1, p1_lo, p1_lo + L - 1):
+            # the corresponding side-2 forward range
+            t_lo, t_hi = lo1 - p1_lo, hi1 - p1_lo   # char offsets
+            if rel:
+                q_lo, q_hi = p2_lo + t_lo, p2_lo + t_hi
+            else:
+                q_hi, q_lo = p2_lo + L - 1 - t_lo, p2_lo + L - 1 - t_hi
+            for b2, lo2, hi2 in _project_side(aln2, g2, q_lo, q_hi):
+                # narrow side-1 back to side-2's sub-range
+                u_lo, u_hi = lo2 - q_lo, hi2 - q_lo
+                if rel:
+                    f_lo, f_hi = lo1 + u_lo, lo1 + u_hi
+                else:
+                    f_hi, f_lo = hi1 - u_lo, hi1 - u_hi
+                sub_len = hi2 - lo2 + 1
+                if sub_len <= 0:
+                    continue
+                anchors.append(_make_anchor(
+                    aln1, aln2, b1, b2, g1, g2, f_lo, lo2, sub_len, rel,
+                    float(scores[mi]) * sub_len / L))
+    return anchors
+
+
+def _make_anchor(aln1, aln2, b1, b2, g1, g2, p1, p2, L, rel, score):
+    blk1 = aln1.blocks[b1]
+    blk2 = aln2.blocks[b2]
+    r1, r2 = aln1.row_of(g1), aln2.row_of(g2)
+    ends1 = blk1.genome_pos_to_column(r1, np.array([p1, p1 + L - 1]))
+    ends2 = blk2.genome_pos_to_column(r2, np.array([p2, p2 + L - 1]))
+    c1_lo, c1_hi = int(min(ends1)), int(max(ends1))
+    c2_lo, c2_hi = int(min(ends2)), int(max(ends2))
+    # does increasing c1 pair with increasing c2?
+    d1 = ends1[1] >= ends1[0]     # leaf pos increases with column?
+    d2 = ends2[1] >= ends2[0]
+    forward = (d1 == d2) == rel
+    return Anchor(b1=b1, b2=b2, c1_lo=c1_lo, c1_hi=c1_hi, c2_lo=c2_lo,
+                  c2_hi=c2_hi, forward=bool(forward), length=L,
+                  score=score, g1=g1, g2=g2, p1=p1, p2=p2, rel=rel)
+
+
+def _prune_column_conflicts(aln1: NodeAlignment, aln2: NodeAlignment,
+                            anchors: list[Anchor],
+                            min_keep: int = 8) -> list[Anchor]:
+    """Resolve column-range conflicts between anchors, greedy by score
+    (EliminateOverlaps_v2 analog, GBE.h:328-395, operating in ancestral
+    column space): higher-scoring anchors claim their column ranges on
+    both axes; lower-scoring anchors are TRIMMED to their longest run of
+    chars whose columns are unclaimed on both axes, and dropped when
+    fewer than `min_keep` chars survive."""
+    order = sorted(range(len(anchors)), key=lambda i: -anchors[i].score)
+    kept: list[Anchor] = []
+    iv1: dict[int, list[tuple[int, int]]] = {}
+    iv2: dict[int, list[tuple[int, int]]] = {}
+
+    def overlaps(ivs, blk, lo, hi):
+        return [r for r in ivs.get(blk, []) if lo <= r[1] and r[0] <= hi]
+
+    for i in order:
+        a = anchors[i]
+        ov1 = overlaps(iv1, a.b1, a.c1_lo, a.c1_hi)
+        ov2 = overlaps(iv2, a.b2, a.c2_lo, a.c2_hi)
+        if ov1 or ov2:
+            a = _trim_anchor(aln1, aln2, a, ov1, ov2, min_keep)
+            if a is None:
+                continue
+        kept.append(a)
+        iv1.setdefault(a.b1, []).append((a.c1_lo, a.c1_hi))
+        iv2.setdefault(a.b2, []).append((a.c2_lo, a.c2_hi))
+    return kept
+
+
+def _trim_anchor(aln1: NodeAlignment, aln2: NodeAlignment, a: Anchor,
+                 ov1: list[tuple[int, int]], ov2: list[tuple[int, int]],
+                 min_keep: int) -> Anchor | None:
+    """Trim an anchor to its longest char run whose columns avoid the
+    claimed ranges on both axes; None if too little survives."""
+    L = a.length
+    blk1 = aln1.blocks[a.b1]
+    blk2 = aln2.blocks[a.b2]
+    r1 = aln1.row_of(a.g1)
+    r2 = aln2.row_of(a.g2)
+    cols1 = blk1.genome_pos_to_column(r1, np.arange(a.p1, a.p1 + L))
+    cols2 = blk2.genome_pos_to_column(r2, np.arange(a.p2, a.p2 + L))
+    # char t (ascending leaf1 position) pairs with leaf2 char t (rel) or
+    # L-1-t (inverted)
+    c2_of_t = cols2 if a.rel else cols2[::-1]
+    bad = np.zeros(L, dtype=bool)
+    for lo, hi in ov1:
+        bad |= (cols1 >= lo) & (cols1 <= hi)
+    for lo, hi in ov2:
+        bad |= (c2_of_t >= lo) & (c2_of_t <= hi)
+    good = ~bad
+    if not good.any():
+        return None
+    # longest run of good chars
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], good.view(np.int8),
+                                                   [0]])))
+    run_starts, run_ends = edges[::2], edges[1::2]
+    best = int(np.argmax(run_ends - run_starts))
+    t0, t1 = int(run_starts[best]), int(run_ends[best]) - 1
+    new_len = t1 - t0 + 1
+    if new_len < min_keep:
+        return None
+    p1 = a.p1 + t0
+    p2 = a.p2 + t0 if a.rel else a.p2 + (L - 1 - t1)
+    return _make_anchor(aln1, aln2, a.b1, a.b2, a.g1, a.g2, p1, p2,
+                        new_len, a.rel, a.score * new_len / L)
+
+
+# --------------------------------------------------------------------------
+# LCB selection over anchors (column space)
+# --------------------------------------------------------------------------
+
+def _anchor_lcbs(anchors: list[Anchor], bp_penalty: float
+                 ) -> list[list[Anchor]]:
+    """Breakpoint analysis + scored greedy elimination over the anchor
+    set; returns surviving LCBs as ordered anchor lists."""
+    if not anchors:
+        return []
+    n = len(anchors)
+    # synthetic pairwise coordinate space: blocks laid out end to end
+    off1: dict[int, int] = {}
+    off2: dict[int, int] = {}
+    starts = np.zeros((n, 2), dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    cur1 = cur2 = 1
+    for a in anchors:
+        if a.b1 not in off1:
+            off1[a.b1] = cur1
+            cur1 += 1 << 40
+        if a.b2 not in off2:
+            off2[a.b2] = cur2
+            cur2 += 1 << 40
+    for i, a in enumerate(anchors):
+        starts[i, 0] = off1[a.b1] + a.c1_lo
+        c2 = off2[a.b2] + a.c2_lo
+        starts[i, 1] = c2 if a.forward else -c2
+        lens[i] = a.c1_hi - a.c1_lo + 1
+    ma = MatchArray(starts, lens)
+    scores = np.array([a.score for a in anchors])
+    order, bps = identify_breakpoints(ma)
+    members = compute_lcbs(ma, order, bps)
+    weights = np.array([scores[idx].sum() for idx in members])
+    lcbs = compute_adjacencies(ma, members, weights)
+    scorer = SimpleBreakpointScorer(lcbs, bp_penalty)
+    greedy_breakpoint_elimination(lcbs, scorer)
+    out = []
+    for idx in surviving_members(lcbs):
+        group = [anchors[i] for i in idx]
+        group.sort(key=lambda a: (a.b1, a.c1_lo))
+        # split where the child block changes on either side — a child
+        # block boundary is a descendant breakpoint and cannot be
+        # crossed by one parent block (propagateDescendantBreakpoints
+        # analog, PA.cpp:236)
+        cur: list[Anchor] = []
+        for a in group:
+            if cur and (a.b1 != cur[-1].b1 or a.b2 != cur[-1].b2):
+                out.append(cur)
+                cur = []
+            cur.append(a)
+        if cur:
+            out.append(cur)
+    return out
+
+
+# --------------------------------------------------------------------------
+# merged-block construction
+# --------------------------------------------------------------------------
+
+def _zip_anchor(s1: CompactAlignment, s2: CompactAlignment,
+                r1: int, r2: int) -> CompactAlignment:
+    """Merge two column slices through the exact leaf-char correspondence
+    of an ungapped anchor: char k of row r1 pairs with char k of row r2;
+    non-char columns interleave (side1's before side2's).  Linear time,
+    no DP."""
+    bits1, bits2 = s1.bits[r1], s2.bits[r2]
+    L = int(bits1.sum())
+    assert L == int(bits2.sum()), (L, int(bits2.sum()))
+    C1, C2 = len(bits1), len(bits2)
+    idx1 = np.flatnonzero(bits1)
+    idx2 = np.flatnonzero(bits2)
+    C = C1 + C2 - L
+    # Merged layout per char k: side1 gap cols of rank k, then side2 gap
+    # cols of rank k, then the paired char column; trailing gaps last.
+    # Merged position of an event = side1 cols flushed + side2 cols
+    # flushed − paired cols flushed (pairs occupy one merged column).
+    k = np.arange(L)
+    pos1 = np.empty(C1, dtype=np.int64)
+    pos2 = np.empty(C2, dtype=np.int64)
+    pos1[idx1] = idx1 + idx2 - k
+    pos2[idx2] = idx1 + idx2 - k
+    gap1 = ~bits1
+    rank1 = (np.cumsum(bits1) - bits1)[gap1]    # chars before each gap col
+    j1 = np.flatnonzero(gap1)
+    side2_flushed = np.where(rank1 > 0, idx2[np.maximum(rank1 - 1, 0)] + 1, 0)
+    pos1[gap1] = j1 + side2_flushed - rank1
+    gap2 = ~bits2
+    rank2 = (np.cumsum(bits2) - bits2)[gap2]
+    j2 = np.flatnonzero(gap2)
+    side1_flushed = np.where(rank2 < L, idx1[np.minimum(rank2, L - 1)], C1)
+    pos2[gap2] = j2 + side1_flushed - rank2
+    # assemble
+    G1, G2 = s1.seq_count, s2.seq_count
+    bits = np.zeros((G1 + G2, C), dtype=bool)
+    bits[:G1, pos1] = s1.bits
+    bits[G1:, pos2] = s2.bits
+    return CompactAlignment(
+        starts=np.concatenate([s1.starts, s2.starts]), bits=bits)
+
+
+def _unaligned_pair_block(s1: CompactAlignment, s2: CompactAlignment
+                          ) -> CompactAlignment:
+    """Staircase merge: side1 columns then side2 columns, no alignment."""
+    G1, G2 = s1.seq_count, s2.seq_count
+    C1, C2 = s1.n_columns, s2.n_columns
+    bits = np.zeros((G1 + G2, C1 + C2), dtype=bool)
+    bits[:G1, :C1] = s1.bits
+    bits[G1:, C1:] = s2.bits
+    return CompactAlignment(
+        starts=np.concatenate([s1.starts, s2.starts]), bits=bits)
+
+
+def _side_only_block(s: CompactAlignment, other_count: int,
+                     first: bool) -> CompactAlignment:
+    G = s.seq_count
+    if first:
+        starts = np.concatenate([s.starts,
+                                 np.zeros(other_count, np.int64)])
+        bits = np.concatenate(
+            [s.bits, np.zeros((other_count, s.n_columns), bool)], axis=0)
+    else:
+        starts = np.concatenate([np.zeros(other_count, np.int64),
+                                 s.starts])
+        bits = np.concatenate(
+            [np.zeros((other_count, s.n_columns), bool), s.bits], axis=0)
+    return CompactAlignment(starts=starts, bits=bits)
+
+
+def _merge_lcb(aln1: NodeAlignment, aln2: NodeAlignment,
+               group: list[Anchor], genomes: list[Genome],
+               max_window: int, gap_jobs: list,
+               segments: list) -> None:
+    """Plan one LCB's merged block: exact zips for anchors, DP jobs for
+    inter-anchor windows.  Appends ('zip'|'gap'|'stair', ...) entries to
+    `segments` and DP inputs to `gap_jobs`."""
+    b1 = group[0].b1
+    b2 = group[0].b2
+    blk1, blk2 = aln1.blocks[b1], aln2.blocks[b2]
+    fwd = group[0].forward
+    r1 = aln1.row_of(group[0].g1)
+
+    prev = None
+    for a in group:
+        r1a, r2a = aln1.row_of(a.g1), aln2.row_of(a.g2)
+        if prev is not None:
+            # inter-anchor window on both sides
+            w1_lo, w1_hi = prev.c1_hi + 1, a.c1_lo - 1
+            if fwd:
+                w2_lo, w2_hi = prev.c2_hi + 1, a.c2_lo - 1
+            else:
+                w2_lo, w2_hi = a.c2_hi + 1, prev.c2_lo - 1
+            s1 = blk1.slice_columns(w1_lo, w1_hi + 1) \
+                if w1_hi >= w1_lo else None
+            s2 = blk2.slice_columns(w2_lo, w2_hi + 1) \
+                if w2_hi >= w2_lo else None
+            if s2 is not None and not fwd:
+                s2 = s2.invert()
+            if s1 is None and s2 is None:
+                pass
+            elif s1 is None:
+                segments.append(("side2", s2))
+            elif s2 is None:
+                segments.append(("side1", s1))
+            elif max(s1.n_columns, s2.n_columns) > max_window:
+                segments.append(("stair", s1, s2))
+            else:
+                segments.append(("gap", len(gap_jobs)))
+                gap_jobs.append((s1, s2))
+        sa1 = blk1.slice_columns(a.c1_lo, a.c1_hi + 1)
+        sa2 = blk2.slice_columns(a.c2_lo, a.c2_hi + 1)
+        if not fwd:
+            sa2 = sa2.invert()
+        segments.append(("zip", sa1, sa2, r1a, r2a))
+        prev = a
+
+
+def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
+                matches: MatchArray, scores: np.ndarray,
+                genomes: list[Genome], bp_penalty: float,
+                max_window: int = MAX_ALIGNMENT_LENGTH) -> NodeAlignment:
+    """Align two node alignments into their parent (alignNodes /
+    alignProfileToProfile analog)."""
+    anchors = project_matches(matches, scores, aln1, aln2)
+    anchors = _prune_column_conflicts(aln1, aln2, anchors)
+    lcb_groups = _anchor_lcbs(anchors, bp_penalty)
+
+    leaf_ids = aln1.leaf_ids + aln2.leaf_ids
+    G1, G2 = len(aln1.leaf_ids), len(aln2.leaf_ids)
+
+    # plan all LCBs, batching DP windows
+    gap_jobs: list = []
+    lcb_plans: list[tuple[int, int, int, int, int, list]] = []
+    used1: dict[int, list[tuple[int, int]]] = {}
+    used2: dict[int, list[tuple[int, int]]] = {}
+    for group in lcb_groups:
+        segments: list = []
+        _merge_lcb(aln1, aln2, group, genomes, max_window, gap_jobs,
+                   segments)
+        b1, b2 = group[0].b1, group[0].b2
+        c1_lo, c1_hi = group[0].c1_lo, group[-1].c1_hi
+        if group[0].forward:
+            c2_lo, c2_hi = group[0].c2_lo, group[-1].c2_hi
+        else:
+            c2_lo, c2_hi = group[-1].c2_lo, group[0].c2_hi
+        used1.setdefault(b1, []).append((c1_lo, c1_hi))
+        used2.setdefault(b2, []).append((c2_lo, c2_hi))
+        lcb_plans.append((b1, c1_lo, c1_hi, b2, c2_lo, segments))
+
+    # run every DP window in one batch
+    if gap_jobs:
+        p_rows = []
+        q_rows = []
+        for s1, s2 in gap_jobs:
+            p_rows.append(ascii_rows_to_codes(s1.render(
+                [genomes[g] for g in aln1.leaf_ids])))
+            q_rows.append(ascii_rows_to_codes(s2.render(
+                [genomes[g] for g in aln2.leaf_ids])))
+        merged_rows = align_profile_batch(p_rows, q_rows)
+        gap_results = [merge_from_rows(s1, s2, rows, G1)
+                       for (s1, s2), rows in zip(gap_jobs, merged_rows)]
+    else:
+        gap_results = []
+
+    blocks: list[CompactAlignment] = []
+    order_keys: list[tuple] = []
+    for b1, c1_lo, c1_hi, b2, c2_lo, segments in lcb_plans:
+        parts: list[CompactAlignment] = []
+        for seg in segments:
+            kind = seg[0]
+            if kind == "zip":
+                parts.append(_zip_anchor(seg[1], seg[2], seg[3], seg[4]))
+            elif kind == "gap":
+                parts.append(gap_results[seg[1]])
+            elif kind == "stair":
+                parts.append(_unaligned_pair_block(seg[1], seg[2]))
+            elif kind == "side1":
+                parts.append(_side_only_block(seg[1], G2, True))
+            elif kind == "side2":
+                parts.append(_side_only_block(seg[1], G1, False))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.concat(p)
+        blocks.append(merged)
+        order_keys.append((0, b1, c1_lo))
+
+    # leftovers: columns of each side in no LCB
+    for aln, used, first, other in ((aln1, used1, True, G2),
+                                    (aln2, used2, False, G1)):
+        for bi, blk in enumerate(aln.blocks):
+            ranges = sorted(used.get(bi, []))
+            cursor = 0
+            free: list[tuple[int, int]] = []
+            for lo, hi in ranges:
+                if lo > cursor:
+                    free.append((cursor, lo - 1))
+                cursor = max(cursor, hi + 1)
+            if cursor < blk.n_columns:
+                free.append((cursor, blk.n_columns - 1))
+            for lo, hi in free:
+                s = blk.slice_columns(lo, hi + 1)
+                if not s.bits.any():
+                    continue
+                blocks.append(_side_only_block(s, other, first))
+                order_keys.append((0 if first else 1, bi, lo))
+
+    order = sorted(range(len(blocks)), key=lambda i: order_keys[i])
+    return NodeAlignment(leaf_ids=leaf_ids,
+                         blocks=[blocks[i] for i in order])
+
+
+def merge_from_rows(s1: CompactAlignment, s2: CompactAlignment,
+                    rows: np.ndarray, G1: int) -> CompactAlignment:
+    """Convert a profile-DP merged row matrix back into a
+    CompactAlignment: a merged column consumes a side-1 column iff any
+    side-1 row is non-gap there (profiles never emit all-gap columns for
+    a consumed source column unless the source column was all-gap —
+    those are preserved by mapping char counts)."""
+    C = rows.shape[1]
+    # per-side consumed-column masks from the DP's monotone structure:
+    # side k consumed a column wherever its char counter advanced.  The
+    # DP worked on rendered rows, whose non-gap pattern equals the source
+    # bits, so counting non-gap rows recovers consumption except for
+    # source columns that were all-gap (impossible: node alignments are
+    # gap-condensed per block).
+    a_used = (rows[:G1] != GAP_CODE).any(axis=0)
+    b_used = (rows[G1:] != GAP_CODE).any(axis=0)
+    a_gaps = ~a_used
+    b_gaps = ~b_used
+    return merge_with_gap_masks(s1, s2, a_gaps, b_gaps)
+
+
+# --------------------------------------------------------------------------
+# top-level driver
+# --------------------------------------------------------------------------
+
+def progressive_align(genomes: list[Genome],
+                      config: ProgressiveConfig | None = None
+                      ) -> tuple[IntervalList, TreeNode]:
+    """ProgressiveAligner::align equivalent (PA.cpp:3779-3940)."""
+    cfg = config or ProgressiveConfig()
+    G = len(genomes)
+    if G < 2:
+        raise ValueError("need at least two genomes")
+    seq_lengths = [len(g) for g in genomes]
+
+    smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
+    matches = find_pairwise_mums(smls)
+    sols = [seed_occurrence_list(s) for s in smls]
+    codes = [g.codes for g in genomes]
+
+    # per-match score: its own leaf pair's uniqueness-scaled score
+    scores = np.zeros(len(matches), dtype=np.float64)
+    present = matches.starts != NO_MATCH
+    for i in range(G):
+        for j in range(i + 1, G):
+            sel = present[:, i] & present[:, j]
+            if sel.any():
+                sub = MatchArray(matches.starts[sel], matches.lengths[sel])
+                scores[sel] = pairwise_anchor_scores(sub, i, j, codes, sols)
+
+    dist = single_copy_distance(matches, seq_lengths)
+    tree = midpoint_root(neighbor_joining(dist))
+    bp_penalty = cfg.breakpoint_penalty
+    if bp_penalty is None:
+        bp_penalty = default_breakpoint_penalty(seq_lengths)
+
+    node_aln: dict[int, NodeAlignment] = {}
+    for leaf in tree.leaves():
+        node_aln[id(leaf)] = leaf_alignment(leaf.sequence_id,
+                                            genomes[leaf.sequence_id])
+    for node in alignment_order(tree):
+        kids = node.children
+        acc = node_aln[id(kids[0])]
+        for k in kids[1:]:
+            acc = align_nodes(acc, node_aln[id(k)], matches, scores,
+                              genomes, bp_penalty,
+                              max_window=cfg.max_gapped_window)
+        node_aln[id(node)] = acc
+
+    root_aln = node_aln[id(tree)]
+    intervals = []
+    for blk in root_aln.blocks:
+        # reorder rows to genome order
+        order = np.argsort(root_aln.leaf_ids)
+        cga = CompactAlignment(starts=blk.starts[order],
+                               bits=blk.bits[order])
+        rows = cga.render(genomes)
+        lens = cga.lengths()
+        intervals.append(Interval(
+            blocks=[Block(starts=cga.starts.copy(),
+                          lengths=lens, rows=rows)],
+            seq_count=G))
+    return IntervalList(intervals, list(genomes)), tree
