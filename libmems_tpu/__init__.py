@@ -42,6 +42,9 @@ from libmems_tpu.tree import TreeNode, neighbor_joining, midpoint_root, \
 from libmems_tpu.distance import distance_matrix, identity_matrix, \
     single_copy_distance
 from libmems_tpu.msa import align_codes, refine
+from libmems_tpu.progressive import ProgressiveConfig, progressive_align
+from libmems_tpu.backbone import detect_backbone, write_backbone_seq_coordinates, \
+    write_backbone_columns, compute_gc
 
 __all__ = [
     "seeds",
@@ -72,6 +75,12 @@ __all__ = [
     "single_copy_distance",
     "align_codes",
     "refine",
+    "ProgressiveConfig",
+    "progressive_align",
+    "detect_backbone",
+    "write_backbone_seq_coordinates",
+    "write_backbone_columns",
+    "compute_gc",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,212 @@
+"""Backbone detection: merge pairwise homology predictions into
+multi-genome backbone segments and write the backbone file formats.
+
+Equivalent of libMems/Backbone.{h,cpp}:
+
+* detect_backbone — detectAndApplyBackbone (Backbone.h:65-71): per
+  interval, per genome pair, HMM HSS detection (HomologyHmmDetector,
+  batched on device via libmems_tpu.islands/ops.hmm) →
+  makeAllPairwiseGenomeHSS (Backbone.cpp:315);
+* merge across pairs — mergePairwiseHomologyPredictions
+  (Backbone.cpp:465): a genome participates in a backbone column iff it
+  is HMM-homologous to at least one other genome there; maximal column
+  runs with identical participation sets become backbone segments;
+* compute_gc — computeGC (Backbone.cpp:298), feeding the GC-adapted HMM
+  emission parameters;
+* write_backbone_columns / write_backbone_seq_coordinates — the bbcols
+  and bbseq file formats (Backbone.h:183-231);
+* unaligning of non-homologous rows (unalignIslands, Backbone.cpp:672)
+  is applied at render time via the participation masks rather than by
+  rewriting interval objects — the XMFA content is identical (islands
+  become gap rows in backbone output and separate unaligned segments).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from libmems_tpu.interval import IntervalList
+from libmems_tpu.islands import HssCols, find_hss_homology_batch
+from libmems_tpu.ops.hmm import HmmParams, adapted_hoxd_params
+from libmems_tpu.scoring import GAP
+from libmems_tpu.sequence import Genome
+
+
+@dataclass
+class BackboneSegment:
+    """One multi-genome backbone segment."""
+
+    interval: int               # interval index in the IntervalList
+    left_col: int               # inclusive column range
+    right_col: int
+    genomes: list[int]          # participating genome indices
+    seq_ranges: np.ndarray      # int64[G, 2] signed (left, right), 0 = absent
+
+
+def compute_gc(genomes: list[Genome]) -> float:
+    """Fraction G/C over all genomes (computeGC, Backbone.cpp:298)."""
+    gc = 0
+    total = 0
+    for g in genomes:
+        codes = g.codes
+        gc += int(((codes == 1) | (codes == 2)).sum())
+        total += len(codes)
+    return gc / max(total, 1)
+
+
+def detect_backbone(ivs: IntervalList,
+                    params: HmmParams | None = None,
+                    min_bb_length: int = 0) -> list[BackboneSegment]:
+    """Per-interval pairwise HMM homology → transitive merge →
+    backbone segments (detectAndApplyBackbone minus interval rewriting).
+    """
+    genomes = ivs.genomes
+    G = len(genomes)
+    if params is None:
+        params = adapted_hoxd_params(compute_gc(genomes))
+
+    segments: list[BackboneSegment] = []
+    # batch all pairwise jobs of all intervals into one HMM dispatch set
+    jobs = []
+    job_meta = []
+    rendered = []
+    for ivI, iv in enumerate(ivs.intervals):
+        rows = iv.render(genomes)
+        rendered.append(rows)
+        present = [g for g in range(G) if int(iv.left_ends()[g]) != 0]
+        if len(present) < 2:
+            continue
+        for a in range(len(present)):
+            for b in range(a + 1, len(present)):
+                jobs.append((rows[present[a]], rows[present[b]],
+                             present[a], present[b]))
+                job_meta.append(ivI)
+    all_hss = find_hss_homology_batch(jobs, params)
+
+    # per interval: participation[g, c] = homologous to >=1 partner
+    per_iv_part: dict[int, np.ndarray] = {}
+    for hss_list, ivI in zip(all_hss, job_meta):
+        rows = rendered[ivI]
+        part = per_iv_part.setdefault(
+            ivI, np.zeros((G, rows.shape[1]), dtype=bool))
+        for h in hss_list:
+            part[h.seqI, h.left_col:h.right_col + 1] = True
+            part[h.seqJ, h.left_col:h.right_col + 1] = True
+
+    for ivI, part in sorted(per_iv_part.items()):
+        iv = ivs.intervals[ivI]
+        rows = rendered[ivI]
+        nongap = rows != GAP
+        part = part & nongap
+        # maximal runs of identical participation sets with >=2 members
+        C = part.shape[1]
+        counts = part.sum(axis=0)
+        ok = counts >= 2
+        change = np.ones(C, dtype=bool)
+        change[1:] = (part[:, 1:] != part[:, :-1]).any(axis=0)
+        run_starts = np.flatnonzero(change)
+        run_ends = np.concatenate([run_starts[1:] - 1, [C - 1]])
+        for lo, hi in zip(run_starts, run_ends):
+            if not ok[lo]:
+                continue
+            members = np.flatnonzero(part[:, lo])
+            if hi - lo + 1 < min_bb_length:
+                continue
+            seq_ranges = _segment_seq_ranges(iv, rows, int(lo), int(hi),
+                                             members)
+            segments.append(BackboneSegment(
+                interval=ivI, left_col=int(lo), right_col=int(hi),
+                genomes=[int(m) for m in members],
+                seq_ranges=seq_ranges))
+    return segments
+
+
+def _segment_seq_ranges(iv, rows, lo: int, hi: int,
+                        members: np.ndarray) -> np.ndarray:
+    """Signed per-genome sequence coordinates of a column range."""
+    G = rows.shape[0]
+    out = np.zeros((G, 2), dtype=np.int64)
+    starts = iv.starts()
+    nongap = rows != GAP
+    for g in members:
+        bits = nongap[g]
+        chars_before = int(bits[:lo].sum())
+        chars_in = int(bits[lo:hi + 1].sum())
+        if chars_in == 0:
+            continue
+        s = int(starts[g])
+        L = int(bits.sum())
+        if s > 0:
+            left = s + chars_before
+            right = left + chars_in - 1
+            out[g] = (left, right)
+        else:
+            right = (-s + L - 1) - chars_before
+            left = right - chars_in + 1
+            out[g] = (-left, -right)
+    return out
+
+
+# --------------------------------------------------------------------------
+# file formats (Backbone.h:183-231)
+# --------------------------------------------------------------------------
+
+def write_backbone_seq_coordinates(path_or_fh,
+                                   segments: list[BackboneSegment],
+                                   seq_count: int):
+    """bbseq format: header seqN_leftend/seqN_rightend, one line per
+    backbone segment with signed coordinates, 0 0 when absent
+    (writeBackboneSeqFile, Backbone.h:184-207)."""
+    import os
+    own = isinstance(path_or_fh, (str, os.PathLike))
+    fh = open(path_or_fh, "w") if own else path_or_fh
+    try:
+        fh.write("\t".join(
+            f"seq{g}_leftend\tseq{g}_rightend" for g in range(seq_count)))
+        fh.write("\n")
+        for seg in segments:
+            cols = []
+            for g in range(seq_count):
+                cols.append(str(int(seg.seq_ranges[g, 0])))
+                cols.append(str(int(seg.seq_ranges[g, 1])))
+            fh.write("\t".join(cols) + "\n")
+    finally:
+        if own:
+            fh.close()
+
+
+def read_backbone_seq_coordinates(path_or_fh) -> np.ndarray:
+    """Read bbseq; returns int64[n_segments, G, 2]."""
+    import os
+    own = isinstance(path_or_fh, (str, os.PathLike))
+    fh = open(path_or_fh, "r") if own else path_or_fh
+    try:
+        header = fh.readline()
+        G = len(header.split("\t")) // 2
+        rows = []
+        for line in fh:
+            vals = [int(v) for v in line.split()]
+            rows.append(np.array(vals, dtype=np.int64).reshape(G, 2))
+        return np.stack(rows) if rows else np.zeros((0, G, 2), np.int64)
+    finally:
+        if own:
+            fh.close()
+
+
+def write_backbone_columns(path_or_fh, segments: list[BackboneSegment]):
+    """bbcols format: `ivI left_col len seq...` one line per segment
+    (writeBackboneColsFile counterpart of Backbone.h:209-231)."""
+    import os
+    own = isinstance(path_or_fh, (str, os.PathLike))
+    fh = open(path_or_fh, "w") if own else path_or_fh
+    try:
+        for seg in segments:
+            fh.write(f"{seg.interval}\t{seg.left_col}\t"
+                     f"{seg.right_col - seg.left_col + 1}\t")
+            fh.write("\t".join(str(g) for g in seg.genomes))
+            fh.write("\n")
+    finally:
+        if own:
+            fh.close()
