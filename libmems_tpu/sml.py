@@ -135,6 +135,27 @@ class SortedMerList:
                              circular=bool(circular), filename=path)
 
     @staticmethod
+    def create_big(genome_or_codes, seed: int, sml_path: str,
+                   scratch_dir: str | None = None,
+                   mem_limit: int = 256 << 20,
+                   circular: bool = False) -> "SortedMerList":
+        """Out-of-core build through the native distribution sort
+        (FileSML::dmCreate -> dmSML equivalent, FileSML.cpp:278-314):
+        for genomes whose (key, pos) table exceeds device/host RAM.
+        Falls back to the in-memory device sort when the native library
+        is unavailable."""
+        from libmems_tpu import native
+        if native.available():
+            native.create_file_sml(genome_or_codes, seed, sml_path,
+                                   scratch_dir=scratch_dir,
+                                   mem_limit=mem_limit, circular=circular)
+            return SortedMerList.load(sml_path)
+        sml = SortedMerList.create(genome_or_codes, seed,
+                                   circular=circular)
+        sml.save(sml_path)
+        return sml
+
+    @staticmethod
     def load_or_create(genome: Genome, seed: int,
                        sml_path: str | os.PathLike | None = None,
                        circular: bool = False) -> "SortedMerList":
