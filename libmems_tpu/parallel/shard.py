@@ -151,6 +151,145 @@ def sharded_mum_seed_count(keys: jax.Array, gid: jax.Array, pos: jax.Array,
     return census(content, g, p)
 
 
+def _route_local(k, g, p, weight: int, n_dev: int, sentinel):
+    """Shard-local body of the prefix routing: order rows by destination
+    bucket, build the [n_dev, C] send buffers, all_to_all, then sort the
+    received rows by (content, gid, pos).  Returns flat local arrays."""
+    T = k.shape[0]
+    content = k >> 1
+    bucket = _bucket_of(content, weight, n_dev)
+    bucket = jnp.where(k == sentinel, n_dev, bucket)
+    bucket, k_s, g_s, p_s = jax.lax.sort(
+        (bucket, k, g, p), num_keys=1, is_stable=False)
+    C = T
+    idx_in_bucket = jnp.arange(T, dtype=jnp.int32) - seg.start_index(
+        seg.run_starts(bucket))
+    send_k = jnp.full((n_dev, C), sentinel, dtype=k.dtype)
+    send_g = jnp.zeros((n_dev, C), dtype=g.dtype)
+    send_p = jnp.zeros((n_dev, C), dtype=p.dtype)
+    dst = jnp.where(bucket < n_dev, bucket, n_dev)
+    send_k = send_k.at[dst, idx_in_bucket].set(k_s, mode="drop")
+    send_g = send_g.at[dst, idx_in_bucket].set(g_s, mode="drop")
+    send_p = send_p.at[dst, idx_in_bucket].set(p_s, mode="drop")
+    recv_k = jax.lax.all_to_all(send_k, SHARD_AXIS, 0, 0, tiled=False)
+    recv_g = jax.lax.all_to_all(send_g, SHARD_AXIS, 0, 0, tiled=False)
+    recv_p = jax.lax.all_to_all(send_p, SHARD_AXIS, 0, 0, tiled=False)
+    rk = recv_k.reshape(-1)
+    rg = recv_g.reshape(-1)
+    rp = recv_p.reshape(-1)
+    rcontent = rk >> 1
+    rstrand = (rk & 1).astype(jnp.int32)
+    return jax.lax.sort((rcontent, rg, rp, rstrand), num_keys=3,
+                        is_stable=False)
+
+
+def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
+                      chunk: int | None = None,
+                      repeat_limit: int = 1000):
+    """Full seed-prefix-sharded multi-MUM discovery (milestone M7).
+
+    The distributed twin of matchfind._fused_mum_pipeline: windows are
+    routed to their canonical-content owner shard (all_to_all over ICI),
+    each shard enumerates its unique-MUM seed runs and extends its
+    candidates in lockstep; extension reads the position-order key
+    tables, which are replicated across the mesh (genome-scale tables
+    are MBs; a halo-exchange of sequence tiles replaces this at
+    multi-host genome counts).  Cross-shard duplicate candidates (seeds
+    of one maximal match live on different shards) collapse in the final
+    host-side dedup.
+
+    Returns a MatchArray (same semantics as find_mums: unique MUMs,
+    repeat_tolerance=0).
+    """
+    from libmems_tpu.match import MatchArray
+    from libmems_tpu.ops.extend import extend_matches
+
+    n_dev = mesh.devices.size
+    G = len(smls)
+    seed_len = smls[0].seed_length
+    weight = smls[0].seed_weight
+    if chunk is None:
+        chunk = max(seed_len, 128)
+
+    keys_po = jnp.concatenate([s.keys for s in smls])
+    cnts_np = np.array([s.n_windows for s in smls], np.int32)
+    offs_np = np.concatenate([[0], np.cumsum(cnts_np)[:-1]]).astype(np.int32)
+    keys = np.concatenate([np.asarray(s.keys) for s in smls])
+    gid = np.concatenate([np.full(c, i, np.int32)
+                          for i, c in enumerate(cnts_np)])
+    pos = np.concatenate([np.arange(c, dtype=np.int32) for c in cnts_np])
+    keys, gid, pos = pad_table_for_mesh(keys, gid, pos, n_dev)
+    total = len(keys)
+    if capacity is None:
+        capacity = max(256, 1 << (total // n_dev - 1).bit_length())
+    sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()))
+    def step(k, g, p, keys_posorder, offs, cnts):
+        sentinel = jnp.array(sentinel_val, k.dtype)
+        content, rg, rp, rstrand = _route_local(k, g, p, weight, n_dev,
+                                                sentinel)
+        sentinel_content = sentinel >> 1
+        # unique-MUM seed enumeration on the local run table
+        sc = seg.run_starts(content)
+        scg = seg.run_starts(content, rg)
+        subrun_len = seg.run_lengths(scg)
+        max_subrun = seg.segment_max_broadcast(subrun_len, sc)
+        ngids = seg.segment_sum_broadcast(scg.astype(jnp.int32), sc)
+        runlen = seg.run_lengths(sc)
+        keep_run = (ngids >= 2) & (max_subrun <= 1) \
+            & (runlen <= repeat_limit) & (content != sentinel_content)
+        kept_occ = scg & keep_run
+        rid_at_start = jnp.cumsum((sc & keep_run).astype(jnp.int32)) - 1
+        row_id = rid_at_start[seg.start_index(sc)]
+        ref_strand = rstrand[seg.start_index(sc)]
+        n_rows = jnp.where(keep_run.any(), rid_at_start[-1] + 1, 0)
+
+        rid = jnp.where(kept_occ, jnp.minimum(row_id, capacity), capacity)
+        starts = jnp.zeros((capacity + 1, G), dtype=jnp.int32)
+        sign = jnp.where(rstrand == ref_strand, 1, -1).astype(jnp.int32)
+        starts = starts.at[rid, rg].set(sign * (rp + 1), mode="drop")
+        starts = starts[:capacity]
+        valid = jnp.arange(capacity) < jnp.minimum(n_rows, capacity)
+
+        present = (starts != 0) & valid[:, None]
+        lefts = jnp.where(present, jnp.abs(starts) - 1, 0)
+        is_fwd = starts > 0
+        lengths = jnp.full((capacity,), seed_len, dtype=jnp.int32)
+        _pcast = getattr(jax.lax, "pcast", None)
+        if _pcast is not None:
+            lengths = _pcast(lengths, (SHARD_AXIS,), to="varying")
+        else:
+            lengths = jax.lax.pvary(lengths, (SHARD_AXIS,))
+        lefts, lengths = extend_matches(
+            keys_posorder, seed_len, chunk,
+            jnp.broadcast_to(offs, (capacity, G)),
+            jnp.broadcast_to(cnts, (capacity, G)),
+            lefts, present, is_fwd, lengths)
+        out_starts = jnp.where(present, jnp.sign(starts) * (lefts + 1), 0)
+        overflow = jax.lax.psum(
+            jnp.maximum(n_rows - capacity, 0), SHARD_AXIS)
+        return (out_starts[None], lengths[None], valid[None], overflow)
+
+    starts, lengths, valid, overflow = step(
+        jnp.asarray(keys), jnp.asarray(gid), jnp.asarray(pos),
+        keys_po, jnp.asarray(offs_np), jnp.asarray(cnts_np))
+    if int(overflow) > 0:
+        raise ValueError(
+            f"shard candidate capacity exceeded by {int(overflow)} rows; "
+            f"raise capacity (got {capacity})")
+    starts = np.asarray(starts).reshape(-1, G)
+    lengths = np.asarray(lengths).reshape(-1)
+    valid = np.asarray(valid).reshape(-1)
+    ma = MatchArray(starts[valid].astype(np.int64),
+                    lengths[valid].astype(np.int64))
+    return ma.dedup().canonical_sort()
+
+
 def pad_table_for_mesh(keys: np.ndarray, gid: np.ndarray, pos: np.ndarray,
                        n_devices: int):
     """Pad the global window table to a multiple of the mesh size with

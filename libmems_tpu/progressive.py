@@ -640,9 +640,47 @@ def progressive_align(genomes: list[Genome],
         cga = CompactAlignment(starts=blk.starts[order],
                                bits=blk.bits[order])
         rows = cga.render(genomes)
+        if cfg.refine and (blk.bits.any(axis=1).sum() > 2):
+            rows = refine_rows_windowed(rows)
         lens = cga.lengths()
         intervals.append(Interval(
             blocks=[Block(starts=cga.starts.copy(),
                           lengths=lens, rows=rows)],
             seq_count=G))
     return IntervalList(intervals, list(genomes)), tree
+
+
+MIN_REFINE_WINDOW = 200      # ProgressiveAligner.cpp:57
+MAX_REFINE_WINDOW = 20000    # ProgressiveAligner.cpp:58
+
+
+def refine_rows_windowed(rows: np.ndarray,
+                         window: int = 2000) -> np.ndarray:
+    """Windowed iterative refinement of final alignment rows
+    (refineAlignment, PA.cpp:1118-1239): re-align column windows with
+    the MSA refiner, keeping a window's result only when its
+    sum-of-pairs score improves (msa.refine does the accept test).
+    Gap-aware window boundaries are not needed — windows are re-aligned
+    independently and spliced, preserving every row's character
+    content."""
+    from libmems_tpu.msa import refine as msa_refine
+    from libmems_tpu.scoring import ascii_rows_to_codes, \
+        codes_rows_to_ascii
+    G, C = rows.shape
+    if C <= MIN_REFINE_WINDOW:
+        return rows
+    window = max(MIN_REFINE_WINDOW, min(window, MAX_REFINE_WINDOW))
+    parts = []
+    for lo in range(0, C, window):
+        chunk = rows[:, lo:lo + window]
+        codes = ascii_rows_to_codes(chunk)
+        refined = msa_refine(codes, tree=None, iters=1)
+        out = codes_rows_to_ascii(refined)
+        # restore original characters (IUPAC codes survive refinement)
+        restored = np.full_like(out, ord("-"))
+        for g in range(G):
+            src = chunk[g][chunk[g] != ord("-")]
+            sel = out[g] != ord("-")
+            restored[g, sel] = src
+        parts.append(restored)
+    return np.concatenate(parts, axis=1)

@@ -1,0 +1,49 @@
+"""Full sharded MUM pipeline (M7): parity with the single-device path
+on a virtual 8-device CPU mesh (reference analog: dmSML key-range
+partitioning + ParallelMemHash chunking, unified as seed-prefix
+sharding)."""
+
+import numpy as np
+import pytest
+
+from libmems_tpu import seeds as seedlib
+from libmems_tpu.matchfind import find_mums
+from libmems_tpu.parallel.shard import make_mesh, sharded_find_mums
+from libmems_tpu.sml import SortedMerList
+
+rng = np.random.default_rng(0)
+
+
+def mutate(s, rate):
+    out = s.copy()
+    idx = rng.random(len(s)) < rate
+    out[idx] = rng.integers(0, 4, size=int(idx.sum()))
+    return out
+
+
+@pytest.fixture(scope="module")
+def smls():
+    seed = seedlib.get_seed(11, 0)
+    a = rng.integers(0, 4, size=20000).astype(np.uint8)
+    b = mutate(a, 0.02)
+    c = mutate(a, 0.03)
+    c = np.concatenate([c[:7000], (3 - c[7000:14000])[::-1], c[14000:]])
+    return [SortedMerList.create(x, seed) for x in (a, b, c)]
+
+
+def test_sharded_matches_single_device(smls):
+    ref = find_mums(smls)
+    mesh = make_mesh(8)
+    got = sharded_find_mums(smls, mesh, capacity=16384)
+    assert ref.key_set() == got.key_set()
+
+
+def test_sharded_two_devices(smls):
+    ref = find_mums(smls)
+    got = sharded_find_mums(smls, make_mesh(2), capacity=16384)
+    assert ref.key_set() == got.key_set()
+
+
+def test_sharded_overflow_detection(smls):
+    with pytest.raises(ValueError, match="capacity"):
+        sharded_find_mums(smls, make_mesh(8), capacity=8)
