@@ -22,8 +22,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-import numpy as np
-
 from libmems_tpu.distance import distance_matrix
 from libmems_tpu.gbe import eliminate_below_weight, surviving_members
 from libmems_tpu.interval import Interval, Block, IntervalList, \
@@ -35,6 +33,7 @@ from libmems_tpu.sequence import Genome
 from libmems_tpu.sml import create_smls
 from libmems_tpu.tree import TreeNode, midpoint_root, neighbor_joining
 from libmems_tpu import seeds as seedlib
+from libmems_tpu import trace
 
 
 @dataclass
@@ -51,6 +50,12 @@ class AlignerConfig:
     recursive: bool = True            # re-seed inter-anchor gaps
                                       # (Aligner::Recursion, Aligner.cpp:1078)
     min_recursive_gap: int = 32       # skip tiny gaps (DP handles them)
+    lcb_extension: bool = True        # search collinear inter-LCB gaps
+                                      # (SearchLCBGaps, Aligner.cpp:784)
+    collinear: bool = False           # assume no rearrangements: remove
+                                      # breakpoints until one LCB remains
+                                      # (SimpleBreakpointScorer collinear
+                                      # mode, GBE.cpp:877)
 
 
 def add_unaligned_intervals(intervals: list[Interval],
@@ -84,6 +89,96 @@ def add_unaligned_intervals(intervals: list[Interval],
     return out
 
 
+def _collinear_gap_windows(lcbs, members, mums, genomes):
+    """Windows between LCBs that are adjacent in every genome with
+    consistent orientation (the search regions of SearchLCBGaps /
+    CreateGapSearchList, Aligner.cpp:720-970), plus leading/trailing
+    flanks when all genomes agree on their first/last LCB."""
+    from libmems_tpu.lcb import find_boundaries
+    G = len(genomes)
+    bounds = []
+    for idx in members:
+        le, span, ori = find_boundaries(mums.starts[idx],
+                                        mums.lengths[idx])
+        bounds.append((le, le + span - 1, ori))
+    order = np.argsort([b[0][0] for b in bounds])
+    windows = []
+
+    def add_window(gs, gl):
+        if (gl > 0).sum() >= 2:
+            windows.append((gs, gl))
+
+    # leading flank: before the first LCB of every genome (if consistent)
+    for g_end in (False, True):
+        gs = np.zeros(G, dtype=np.int64)
+        gl = np.zeros(G, dtype=np.int64)
+        for g in range(G):
+            firsts = sorted(range(len(bounds)),
+                            key=lambda i: bounds[i][0][g])
+            i = firsts[-1] if g_end else firsts[0]
+            le, re, ori = bounds[i]
+            if g_end:
+                lo, hi = re[g] + 1, len(genomes[g])
+            else:
+                lo, hi = 1, le[g] - 1
+            if hi >= lo:
+                gs[g] = lo   # flank frames are forward; inverted flank
+                gl[g] = hi - lo + 1  # matches re-enter via new LCBs
+        add_window(gs, gl)
+
+    # between genome-0-consecutive LCB pairs adjacent in all genomes
+    for a, b in zip(order[:-1], order[1:]):
+        le_a, re_a, ori_a = bounds[a]
+        le_b, re_b, ori_b = bounds[b]
+        gs = np.zeros(G, dtype=np.int64)
+        gl = np.zeros(G, dtype=np.int64)
+        consistent = True
+        rel0 = ori_a[0] == ori_b[0]
+        for g in range(G):
+            if (ori_a[g] == ori_b[g]) != rel0:
+                consistent = False
+                break
+            lo = min(re_a[g], re_b[g]) + 1
+            hi = max(le_a[g], le_b[g]) - 1
+            if hi >= lo:
+                sign = 1 if ori_a[0] == ori_a[g] else -1
+                gs[g] = sign * lo
+                gl[g] = hi - lo + 1
+        if consistent:
+            add_window(gs, gl)
+    return windows
+
+
+def _extend_lcb_anchors(mums: MatchArray, genomes: list[Genome],
+                        seed: int, min_weight: float, max_rounds: int = 3):
+    """LCB extension loop (RecursiveAnchorSearch extension rounds,
+    Aligner.cpp:1951-2190): search collinear inter-LCB gaps for new
+    full-n-way matches, then recompute LCBs + GBE; repeat until no gap
+    yields anchors."""
+    from libmems_tpu.gbe import eliminate_below_weight as _elim
+    from libmems_tpu.gbe import surviving_members as _sm
+    from libmems_tpu.lcb import compute_lcb_set as _cls
+    from libmems_tpu.recursion import search_gap
+    seq_count = len(genomes)
+    lcbs = _cls(mums)
+    _elim(lcbs, min_weight)
+    members = _sm(lcbs)
+    for _ in range(max_rounds):
+        new = []
+        for gs, gl in _collinear_gap_windows(lcbs, members, mums, genomes):
+            found = search_gap(genomes, gs, gl, seed)
+            found = found.multiplicity_filter(seq_count)
+            if len(found):
+                new.append(found)
+        if not new:
+            break
+        mums = MatchArray.concat([mums] + new).dedup().canonical_sort()
+        lcbs = _cls(mums)
+        _elim(lcbs, min_weight)
+        members = _sm(lcbs)
+    return mums, members
+
+
 def align(genomes: list[Genome], config: AlignerConfig | None = None
           ) -> tuple[IntervalList, MatchArray]:
     """Run the flat N-way pipeline (Aligner::align, Aligner.cpp:2193-2286);
@@ -93,8 +188,10 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
     if seq_count < 2:
         raise ValueError("need at least two genomes")
 
-    smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
-    mums = find_mums(smls, repeat_tolerance=cfg.repeat_tolerance)
+    with trace.stage("sml_build"):
+        smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
+    with trace.stage("mum_find"):
+        mums = find_mums(smls, repeat_tolerance=cfg.repeat_tolerance)
 
     # Step 2-3 (Aligner.cpp:2217-2247): overlap trim, then keep only
     # full n-way multi-MUMs
@@ -107,9 +204,22 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
     min_weight = cfg.min_lcb_weight
     if min_weight is None:
         min_weight = 3 * seedlib.seed_weight(seed) * seq_count
-    lcbs = compute_lcb_set(mums)
-    eliminate_below_weight(lcbs, float(min_weight))
-    members = surviving_members(lcbs)
+    with trace.stage("lcb_gbe"):
+        if cfg.collinear:
+            from libmems_tpu.gbe import SimpleBreakpointScorer, \
+                greedy_breakpoint_elimination
+            lcbs = compute_lcb_set(mums)
+            scorer = SimpleBreakpointScorer(lcbs, float(min_weight),
+                                            collinear=True)
+            greedy_breakpoint_elimination(lcbs, scorer)
+            members = surviving_members(lcbs)
+        elif cfg.lcb_extension:
+            mums, members = _extend_lcb_anchors(mums, genomes, seed,
+                                                float(min_weight))
+        else:
+            lcbs = compute_lcb_set(mums)
+            eliminate_below_weight(lcbs, float(min_weight))
+            members = surviving_members(lcbs)
 
     if not cfg.gapped_alignment:
         intervals = [interval_from_matches(mums, idx) for idx in members]

@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from libmems_tpu import trace
 from libmems_tpu.anchorscore import (pairwise_anchor_scores,
                                      seed_occurrence_list)
 from libmems_tpu.cga import CompactAlignment, merge_with_gap_masks
@@ -598,9 +599,12 @@ def progressive_align(genomes: list[Genome],
         raise ValueError("need at least two genomes")
     seq_lengths = [len(g) for g in genomes]
 
-    smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
-    matches = find_pairwise_mums(smls)
-    sols = [seed_occurrence_list(s) for s in smls]
+    with trace.stage("sml_build"):
+        smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
+    with trace.stage("pairwise_mums"):
+        matches = find_pairwise_mums(smls)
+    with trace.stage("seed_occurrence"):
+        sols = [seed_occurrence_list(s) for s in smls]
     codes = [g.codes for g in genomes]
 
     # per-match score: its own leaf pair's uniqueness-scaled score
@@ -623,14 +627,17 @@ def progressive_align(genomes: list[Genome],
     for leaf in tree.leaves():
         node_aln[id(leaf)] = leaf_alignment(leaf.sequence_id,
                                             genomes[leaf.sequence_id])
-    for node in alignment_order(tree):
+    internals = alignment_order(tree)
+    for ni, node in enumerate(internals):
         kids = node.children
         acc = node_aln[id(kids[0])]
-        for k in kids[1:]:
-            acc = align_nodes(acc, node_aln[id(k)], matches, scores,
-                              genomes, bp_penalty,
-                              max_window=cfg.max_gapped_window)
+        with trace.stage("align_node"):
+            for k in kids[1:]:
+                acc = align_nodes(acc, node_aln[id(k)], matches, scores,
+                                  genomes, bp_penalty,
+                                  max_window=cfg.max_gapped_window)
         node_aln[id(node)] = acc
+        trace.progress("progressive", ni + 1, len(internals))
 
     root_aln = node_aln[id(tree)]
     intervals = []

@@ -167,3 +167,33 @@ def test_xmfa_roundtrip_gapped(mutated_pair):
             if strand == "-":
                 src = revcomp_ascii(src)
             assert text == src.tobytes().decode()
+
+
+def test_collinear_mode_single_lcb():
+    # collinear genomes with a weak middle anchor region: collinear mode
+    # must end with exactly one LCB covering everything
+    rng2 = np.random.default_rng(23)
+    a = rng2.integers(0, 4, size=15000).astype(np.uint8)
+    b = _mutate(rng2, a, 0.02)
+    ga = lm.Genome.from_string(_to_str(a), name="A")
+    gb = lm.Genome.from_string(_to_str(b), name="B")
+    ivs, _ = align([ga, gb], AlignerConfig(collinear=True))
+    assert len(ivs.intervals) == 1
+
+
+def test_lcb_extension_recovers_gap_anchor():
+    # two strong LCB cores separated by a weaker (mutated) region whose
+    # matches fall below the LCB weight threshold on their own; the
+    # extension search must anchor the middle so coverage improves
+    rng2 = np.random.default_rng(29)
+    core1 = rng2.integers(0, 4, size=8000).astype(np.uint8)
+    core2 = rng2.integers(0, 4, size=8000).astype(np.uint8)
+    mid = rng2.integers(0, 4, size=500).astype(np.uint8)
+    mid_b = _mutate(rng2, mid, 0.04)
+    a = _to_str(np.concatenate([core1, mid, core2]))
+    b = _to_str(np.concatenate([core1, mid_b, core2]))
+    ga = lm.Genome.from_string(a, name="A")
+    gb = lm.Genome.from_string(b, name="B")
+    ivs_ext, mums_ext = align([ga, gb], AlignerConfig(lcb_extension=True))
+    ivs_no, mums_no = align([ga, gb], AlignerConfig(lcb_extension=False))
+    assert len(mums_ext) >= len(mums_no)
