@@ -213,3 +213,195 @@ def predict_homologous(sequences: list[np.ndarray],
     """Boolean per-column homology calls (run() equivalent)."""
     return [p >= threshold
             for p in posterior_homologous(sequences, params)]
+
+
+# --------------------------------------------------------------------------
+# Viterbi decoding + Baum-Welch re-estimation
+# (the HMMoC xml also generates these: homology.h:178-184 declares
+#  Viterbi_recurse/Viterbi_trace and BaumWelch counting; the reference
+#  never calls them from libMems but ships them as public API)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _viterbi_path(obs: jax.Array, lengths: jax.Array, ls, lt, lstop, le):
+    """Batched max-product decode.  obs int32[B, T]; returns the most
+    likely state per column, bool[B, T] (True = homologous)."""
+    B, T = obs.shape
+    le_obs = le.T[obs]                    # [B, T, 2]
+    idx = jnp.arange(T)
+
+    def vstep(v_prev, x):
+        le_i, i = x
+        cand = v_prev[:, :, None] + lt[None]       # [B, from, to]
+        ptr = jnp.argmax(cand, axis=1)             # [B, 2]
+        v = jnp.max(cand, axis=1) + le_i
+        v = jnp.where((i < lengths)[:, None], v, v_prev)
+        ptr = jnp.where((i < lengths)[:, None], ptr,
+                        jnp.arange(2)[None, :])
+        return v, (v, ptr)
+
+    v0 = ls[None] + le_obs[:, 0]
+    vT, (V, PTR) = jax.lax.scan(
+        vstep, v0, (jnp.moveaxis(le_obs[:, 1:], 1, 0), idx[1:]))
+    V = jnp.concatenate([v0[None], V], axis=0)      # [T, B, 2]
+    PTR = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(2)[None, None, :], (1, B, 2)), PTR],
+        axis=0)                                     # [T, B, 2]
+
+    v_last = jnp.take_along_axis(
+        V, (lengths - 1)[None, :, None].astype(jnp.int32), axis=0)[0]
+    end_state = jnp.argmax(v_last + lstop[None], axis=1)  # [B]
+
+    def tstep(state, ptr_i):
+        # carry = state at column i; output it, step to column i-1.
+        # Padding columns (i >= length) carry identity pointers, so the
+        # traceback passes through them unchanged.
+        prev = jnp.take_along_axis(ptr_i, state[:, None], axis=1)[:, 0]
+        return prev, state
+
+    s0, states = jax.lax.scan(tstep, end_state, PTR[1:], reverse=True)
+    states = jnp.concatenate([s0[None], states], axis=0)   # [T, B]
+    return jnp.moveaxis(states, 0, 1) == 0          # [B, T] True = H
+
+
+def viterbi_homologous(sequences: list[np.ndarray],
+                       params: HmmParams | None = None) -> list[np.ndarray]:
+    """Most-likely state path per column (True = homologous) for a batch
+    of encoded symbol sequences — the Viterbi analog of run()."""
+    if params is None:
+        params = hoxd_params()
+    ls, lt, lstop, le = (jnp.asarray(x) for x in _log_matrices(params))
+    out: list = [None] * len(sequences)
+    buckets: dict[int, list[int]] = {}
+    for i, s in enumerate(sequences):
+        if len(s) == 0:
+            out[i] = np.zeros(0, dtype=bool)
+            continue
+        T = max(64, 1 << (len(s) - 1).bit_length())
+        buckets.setdefault(T, []).append(i)
+    for T, idxs in buckets.items():
+        Bp = max(1, 1 << (len(idxs) - 1).bit_length())
+        obs = np.zeros((Bp, T), dtype=np.int32)
+        lens = np.ones(Bp, dtype=np.int32)
+        for r, i in enumerate(idxs):
+            obs[r, :len(sequences[i])] = sequences[i]
+            lens[r] = len(sequences[i])
+        path = np.asarray(_viterbi_path(jnp.asarray(obs), jnp.asarray(lens),
+                                        ls, lt, lstop, le))
+        for r, i in enumerate(idxs):
+            out[i] = path[r, :len(sequences[i])]
+    return out
+
+
+@jax.jit
+def _bw_counts(obs: jax.Array, lengths: jax.Array, ls, lt, lstop, le):
+    """Expected transition counts [2,2], start counts [2] and emission
+    counts [2,8] for one padded batch (standard Baum-Welch E-step in log
+    space, masked past each row's length)."""
+    B, T = obs.shape
+    le_obs = le.T[obs]
+    idx = jnp.arange(T)
+
+    def fstep(f_prev, x):
+        le_i, i = x
+        f = jax.nn.logsumexp(f_prev[:, :, None] + lt[None], axis=1) + le_i
+        f = jnp.where((i < lengths)[:, None], f, f_prev)
+        return f, f
+
+    f0 = ls[None] + le_obs[:, 0]
+    _, F = jax.lax.scan(fstep, f0,
+                        (jnp.moveaxis(le_obs[:, 1:], 1, 0), idx[1:]))
+    F = jnp.concatenate([f0[None], F], axis=0)
+
+    def bstep(b_next, x):
+        le_next, i = x
+        b = jax.nn.logsumexp(
+            lt[None] + (le_next + b_next)[:, None, :], axis=2)
+        b = jnp.where((i == lengths - 1)[:, None], lstop[None], b)
+        b = jnp.where((i > lengths - 1)[:, None], b_next, b)
+        return b, b
+
+    bT = jnp.broadcast_to(lstop[None], (B, 2))
+    _, Bk = jax.lax.scan(bstep, bT,
+                         (jnp.moveaxis(le_obs[:, 1:], 1, 0), idx[:-1]),
+                         reverse=True)
+    Bk = jnp.concatenate([Bk, bT[None]], axis=0)
+
+    last = jnp.take_along_axis(
+        F, (lengths - 1)[None, :, None].astype(jnp.int32), axis=0)[0]
+    logP = jax.nn.logsumexp(last + lstop[None], axis=1)    # [B]
+
+    gamma = jnp.exp(F + Bk - logP[None, :, None])          # [T, B, 2]
+    col_mask = (idx[:, None] < lengths[None, :])           # [T, B]
+    gamma = gamma * col_mask[:, :, None]
+
+    # xi[t] for transitions t -> t+1 (t < length-1)
+    le_b = jnp.moveaxis(le_obs, 1, 0) + Bk                 # [T, B, 2]
+    xi = jnp.exp(F[:-1, :, :, None] + lt[None, None]
+                 + le_b[1:, :, None, :] - logP[None, :, None, None])
+    xi_mask = (idx[:-1, None] < lengths[None, :] - 1)
+    xi = xi * xi_mask[:, :, None, None]
+    trans_counts = xi.sum(axis=(0, 1))                     # [2, 2]
+
+    onehot = jax.nn.one_hot(obs, 8, dtype=gamma.dtype)     # [B, T, 8]
+    emit_counts = jnp.einsum("tbs,bto->so",
+                             gamma, onehot * col_mask.T[:, :, None])
+    start_counts = gamma[0].sum(axis=0)
+    return start_counts, trans_counts, emit_counts, logP.sum()
+
+
+def baum_welch(sequences: list[np.ndarray],
+               params: HmmParams | None = None,
+               iterations: int = 5,
+               pseudocount: float = 1e-3
+               ) -> tuple[HmmParams, list[float]]:
+    """Baum-Welch EM re-estimation of emissions and H<->U transitions
+    from a corpus of encoded column sequences.  Returns (fitted params,
+    per-iteration total log-likelihood).  Stop probabilities are held
+    fixed (they encode sequence-end modelling, parameters.h:18-21)."""
+    if params is None:
+        params = hoxd_params()
+    params = HmmParams(**{**params.__dict__})
+    seqs = [s for s in sequences if len(s) > 0]
+    if not seqs:
+        return params, []
+    T = max(64, 1 << (max(len(s) for s in seqs) - 1).bit_length())
+    Bp = max(1, 1 << (len(seqs) - 1).bit_length())
+    obs = np.zeros((Bp, T), dtype=np.int32)
+    lens = np.ones(Bp, dtype=np.int32)
+    for r, s in enumerate(seqs):
+        obs[r, :len(s)] = s
+        lens[r] = len(s)
+    # padding rows replicate row 0 with length 1; subtract their counts
+    obs_j, lens_j = jnp.asarray(obs), jnp.asarray(lens)
+    n_pad = Bp - len(seqs)
+    lls: list[float] = []
+    for _ in range(iterations):
+        ls, lt, lstop, le = (jnp.asarray(x) for x in _log_matrices(params))
+        sc, tc, ec, ll = (np.array(x) for x in _bw_counts(
+            obs_j, lens_j, ls, lt, lstop, le))
+        if n_pad:
+            # each pad row is a length-1 symbol-0 sequence: its gamma adds
+            # start/emission mass but no transitions
+            ls_np, _, lstop_np, le_np = _log_matrices(params)
+            g0 = np.exp(ls_np + le_np[:, 0] + lstop_np)
+            g0 = g0 / g0.sum()
+            sc = sc - n_pad * g0
+            ec[:, 0] = ec[:, 0] - n_pad * g0
+            ll = ll - n_pad * float(
+                np.log(np.exp(ls_np + le_np[:, 0] + lstop_np).sum()))
+        lls.append(float(ll))
+        sc = np.maximum(sc, 0) + pseudocount
+        tc = np.maximum(tc, 0) + pseudocount
+        ec = np.maximum(ec, 0) + pseudocount
+        params.start_homologous = float(sc[0] / sc.sum())
+        # row-normalize transitions, preserving the fixed stop mass
+        stop = np.array([params.go_stop_from_homologous,
+                         params.go_stop_from_unrelated])
+        tnorm = tc / tc.sum(axis=1, keepdims=True) * (1.0 - stop)[:, None]
+        params.go_unrelated = float(tnorm[0, 1])
+        params.go_homologous = float(tnorm[1, 0])
+        enorm = ec / ec.sum(axis=1, keepdims=True)
+        params.emit_homologous = enorm[0]
+        params.emit_unrelated = enorm[1]
+    return params, lls
