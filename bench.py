@@ -2,7 +2,9 @@
 
 Runs the fused device pipeline (canonical seed keys -> global sort ->
 seed enumeration -> batched ungapped extension -> dedup) on a synthetic
-E. coli-scale pair (2 x 4.6 Mbp, 1% divergence) and prints ONE JSON line.
+E. coli-scale pair (2 x 4.6 Mbp, 1% substitutions + 0.05% indels, the
+indels giving the realistic diagonal-breaking structure of a true
+genome pair) and prints ONE JSON line.
 
 vs_baseline: ratio against a single-core CPU reference throughput for
 the same pipeline, measured once on this machine with numpy (the
@@ -17,12 +19,30 @@ import time
 import numpy as np
 
 
-def _synthetic_pair(n, rng_seed=0, mutate=0.01):
+def _synthetic_pair(n, rng_seed=0, mutate=0.01, indel=0.0005):
+    """Divergent genome pair: substitutions break spaced-seed windows,
+    indels shift diagonals (without them a spaced seed extends through
+    every isolated substitution and the pair collapses to one MUM)."""
     rng = np.random.default_rng(rng_seed)
     a = rng.integers(0, 4, size=n).astype(np.uint8)
     b = a.copy()
     idx = rng.random(n) < mutate
     b[idx] = rng.integers(0, 4, size=int(idx.sum())).astype(np.uint8)
+    if indel > 0:
+        sites = np.flatnonzero(rng.random(n) < indel)
+        sizes = rng.geometric(0.5, size=len(sites))
+        parts, cur = [], 0
+        for s, z in zip(sites, sizes):
+            if s < cur:
+                continue
+            parts.append(b[cur:s])
+            if rng.random() < 0.5:   # insertion
+                parts.append(rng.integers(0, 4, size=z).astype(np.uint8))
+                cur = s
+            else:                    # deletion
+                cur = s + int(z)
+        parts.append(b[cur:])
+        b = np.concatenate(parts)[:n]
     return a, b
 
 
@@ -66,9 +86,10 @@ def main():
 
     def run():
         starts, lengths, valid, n_rows, n_reps = find_mums_device(
-            smls, extend_capacity=1 << 17)
-        jax.block_until_ready(starts)
-        return n_rows
+            smls, extend_capacity=1 << 17, chunk=512)
+        # fetch a value: on remote-TPU backends block_until_ready alone
+        # does not guarantee execution finished
+        return int(n_rows)
 
     n_rows = run()  # compile + warm
     iters = 3

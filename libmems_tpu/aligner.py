@@ -56,6 +56,10 @@ class AlignerConfig:
                                       # breakpoints until one LCB remains
                                       # (SimpleBreakpointScorer collinear
                                       # mode, GBE.cpp:877)
+    seed_families: int = 1            # >1: union gap-search MUMs over this
+                                      # many same-weight seed patterns
+                                      # (pairwiseAnchorSearch seed_count=3,
+                                      # ProgressiveAligner.cpp:619-651)
 
 
 def add_unaligned_intervals(intervals: list[Interval],
@@ -150,7 +154,8 @@ def _collinear_gap_windows(lcbs, members, mums, genomes):
 
 
 def _extend_lcb_anchors(mums: MatchArray, genomes: list[Genome],
-                        seed: int, min_weight: float, max_rounds: int = 3):
+                        seed: int, min_weight: float, max_rounds: int = 3,
+                        seed_families: int = 1):
     """LCB extension loop (RecursiveAnchorSearch extension rounds,
     Aligner.cpp:1951-2190): search collinear inter-LCB gaps for new
     full-n-way matches, then recompute LCBs + GBE; repeat until no gap
@@ -166,7 +171,8 @@ def _extend_lcb_anchors(mums: MatchArray, genomes: list[Genome],
     for _ in range(max_rounds):
         new = []
         for gs, gl in _collinear_gap_windows(lcbs, members, mums, genomes):
-            found = search_gap(genomes, gs, gl, seed)
+            found = search_gap(genomes, gs, gl, seed,
+                               seed_families=seed_families)
             found = found.multiplicity_filter(seq_count)
             if len(found):
                 new.append(found)
@@ -214,8 +220,9 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
             greedy_breakpoint_elimination(lcbs, scorer)
             members = surviving_members(lcbs)
         elif cfg.lcb_extension:
-            mums, members = _extend_lcb_anchors(mums, genomes, seed,
-                                                float(min_weight))
+            mums, members = _extend_lcb_anchors(
+                mums, genomes, seed, float(min_weight),
+                seed_families=cfg.seed_families)
         else:
             lcbs = compute_lcb_set(mums)
             eliminate_below_weight(lcbs, float(min_weight))
@@ -234,7 +241,8 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
         from libmems_tpu.recursion import recursive_anchor_fill
         mums, members = recursive_anchor_fill(
             mums, members, genomes, seed,
-            min_gap=cfg.min_recursive_gap)
+            min_gap=cfg.min_recursive_gap,
+            seed_families=cfg.seed_families)
 
     from libmems_tpu.gapalign import align_lcbs
     intervals = align_lcbs(mums, members, genomes, tree,

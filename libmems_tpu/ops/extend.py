@@ -36,6 +36,9 @@ import jax
 import jax.numpy as jnp
 
 
+ROW_BLOCK = 4096  # rows extended per sequential block (bounds HBM live set)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def extend_matches(
     keys_concat: jax.Array,      # unsigned[Ntot] canonical keys, all genomes
@@ -48,9 +51,39 @@ def extend_matches(
     is_fwd: jax.Array,           # bool[R, G] (column 0 / first present = True)
     lengths: jax.Array,          # int32[R] current match length in columns
 ):
-    """Extend candidates to maximal matches. Returns (lefts, lengths)."""
+    """Extend candidates to maximal matches. Returns (lefts, lengths).
+
+    Rows are processed in ROW_BLOCK-sized tiles via `lax.map`: the probe
+    tensors are (rows, chunk, G) and at full candidate capacity their
+    while-loop live set exceeds HBM (the probe round keeps ~6 such
+    temporaries alive); a block still exposes ROW_BLOCK*chunk*G parallel
+    lanes — far past VPU saturation — while compile covers one block."""
     if chunk < seed_len:
         raise ValueError("chunk must be >= seed_len")
+    R_all, G = lefts.shape
+    if R_all > ROW_BLOCK:
+        nb = -(-R_all // ROW_BLOCK)
+        pad = nb * ROW_BLOCK - R_all
+
+        def padb(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+            ).reshape((nb, ROW_BLOCK) + x.shape[1:])
+
+        def block(args):
+            return _extend_block(keys_concat, seed_len, chunk, *args)
+
+        out_l, out_n = jax.lax.map(block, (
+            padb(gen_off), padb(gen_cnt, 1), padb(lefts),
+            padb(present), padb(is_fwd), padb(lengths)))
+        return (out_l.reshape(nb * ROW_BLOCK, G)[:R_all],
+                out_n.reshape(nb * ROW_BLOCK)[:R_all])
+    return _extend_block(keys_concat, seed_len, chunk, gen_off, gen_cnt,
+                         lefts, present, is_fwd, lengths)
+
+
+def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
+                  lefts, present, is_fwd, lengths):
     R, G = lefts.shape
     d = jnp.arange(1, chunk + 1, dtype=jnp.int32)  # probe offsets
 

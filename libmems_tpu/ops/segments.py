@@ -44,29 +44,29 @@ def run_lengths(starts: jax.Array) -> jax.Array:
     return end_index(starts) - start_index(starts)
 
 
-def _seg_combine(op):
-    """Associative combine for a flag-reset segmented scan."""
-
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, op(va, vb))
-
-    return comb
-
-
 def seg_cummax(values: jax.Array, seg_starts: jax.Array) -> jax.Array:
-    """Inclusive segmented cumulative max."""
-    _, out = jax.lax.associative_scan(
-        _seg_combine(jnp.maximum), (seg_starts, values), axis=0)
-    return out
+    """Inclusive segmented cumulative max of NON-NEGATIVE int values
+    (< 2^32).
+
+    Implemented as ONE plain `lax.cummax` over (segment_id << 32 | value):
+    segment ids are monotone non-decreasing along the table, so the high
+    bits reset the running max at every segment start.  A flag-reset
+    `associative_scan` computes the same thing but lowers to a log-depth
+    slice/concat network whose TPU compile time is minutes at
+    genome-scale N; the packed form compiles like any other cumulative
+    op."""
+    seg_id = jnp.cumsum(seg_starts.astype(jnp.int64)) - 1
+    packed = (seg_id << 32) | values.astype(jnp.int64)
+    return (jax.lax.cummax(packed) & 0xFFFFFFFF).astype(values.dtype)
 
 
 def seg_cumsum(values: jax.Array, seg_starts: jax.Array) -> jax.Array:
-    """Inclusive segmented cumulative sum."""
-    _, out = jax.lax.associative_scan(
-        _seg_combine(jnp.add), (seg_starts, values), axis=0)
-    return out
+    """Inclusive segmented cumulative sum: plain cumsum minus the
+    exclusive total at each row's segment start (same compile-time
+    rationale as seg_cummax)."""
+    cs = jnp.cumsum(values, dtype=values.dtype)
+    excl_at_start = (cs - values)[start_index(seg_starts)]
+    return cs - excl_at_start
 
 
 def segment_max_broadcast(values: jax.Array, seg_starts: jax.Array) -> jax.Array:

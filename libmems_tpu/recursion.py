@@ -82,9 +82,15 @@ def _gap_windows(starts: np.ndarray, lengths: np.ndarray, G: int):
 
 
 def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
-               gap_lens: np.ndarray, seed: int) -> MatchArray:
+               gap_lens: np.ndarray, seed: int,
+               seed_families: int = 1) -> MatchArray:
     """Find MUMs among the gap fragments; returns matches in GLOBAL
-    signed coordinates (pairwiseAnchorSearch / SearchWithinLCB analog)."""
+    signed coordinates (pairwiseAnchorSearch / SearchWithinLCB analog).
+
+    seed_families > 1 unions the MUMs found with that many same-weight
+    seed patterns of increasing sensitivity rank before deduping —
+    ProgressiveAligner::pairwiseAnchorSearch's use_seed_families mode
+    (ProgressiveAligner.cpp:619-651, seed_count = 3)."""
     G = len(genomes)
     seed_len = seedlib.seed_length(seed)
     frags = []
@@ -100,8 +106,25 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
         members.append(g)
     if len(members) < 2:
         return MatchArray.empty(G)
-    smls = [SortedMerList.create(f, seed) for f in frags]
-    local = find_mums(smls)
+    weight = seedlib.seed_weight(seed)
+    found: list[MatchArray] = []
+    for rank in range(max(1, seed_families)):
+        try:
+            fam_seed = seed if rank == 0 else seedlib.get_seed(weight, rank)
+        except (KeyError, ValueError):
+            break
+        smls = [SortedMerList.create(f, fam_seed) for f in frags]
+        fam = find_mums(smls)
+        if len(fam):
+            found.append(fam)
+    if not found:
+        return MatchArray.empty(G)
+    local = found[0]
+    for fam in found[1:]:
+        local = MatchArray(
+            np.concatenate([local.starts, fam.starts]),
+            np.concatenate([local.lengths, fam.lengths]))
+    local = local.dedup()
     if len(local) == 0:
         return MatchArray.empty(G)
     # only matches including every fragment genome stay anchors
@@ -120,7 +143,8 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
 
 def recursive_anchor_fill(matches: MatchArray, members: list[np.ndarray],
                           genomes: list[Genome], seed: int,
-                          min_gap: int = 32, max_rounds: int = 3
+                          min_gap: int = 32, max_rounds: int = 3,
+                          seed_families: int = 1
                           ) -> tuple[MatchArray, list[np.ndarray]]:
     """Iteratively densify every LCB's anchor set (Recursion equivalent).
 
@@ -148,7 +172,8 @@ def recursive_anchor_fill(matches: MatchArray, members: list[np.ndarray],
                     continue
                 gap_seed = seedlib.get_seed(
                     min(gap_seed_w, seedlib.seed_weight(seed)), 0)
-                found = search_gap(genomes, gs, gl, gap_seed)
+                found = search_gap(genomes, gs, gl, gap_seed,
+                                   seed_families=seed_families)
                 for row, ln in zip(found.starts, found.lengths):
                     member_rows.append(matches.n_matches + len(new_rows))
                     new_rows.append(row)
