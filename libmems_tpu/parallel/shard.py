@@ -51,10 +51,17 @@ def make_mesh(n_devices: int | None = None, axis: str = SHARD_AXIS) -> Mesh:
 
 
 def _bucket_of(content: jax.Array, weight: int, n_devices: int) -> jax.Array:
-    """Owner device of each row: top bits of the canonical content."""
+    """Owner device of each row.
+
+    Canonical content = min(fwd, revcomp) is biased low (the min of two
+    near-uniform values), so raw top-bits bucketing loads shard 0 ~4x
+    the average.  A Fibonacci multiplicative mix first decorrelates the
+    bucket from the value while remaining a pure function of content, so
+    equal-content runs still land on one owner shard.
+    """
     bucket_bits = max((n_devices - 1).bit_length(), 1)
-    shift = max(2 * weight - bucket_bits, 0)
-    b = (content >> shift).astype(jnp.int32)
+    mixed = content.astype(jnp.uint64) * jnp.uint64(0x9E3779B97F4A7C15)
+    b = (mixed >> jnp.uint64(64 - bucket_bits)).astype(jnp.int32)
     return jnp.minimum(b, n_devices - 1)
 
 
