@@ -220,6 +220,163 @@ def write_fasta_msa(path_or_fh, rows: np.ndarray,
             fh.close()
 
 
+def read_msf(path_or_fh) -> tuple[np.ndarray, list[str]]:
+    """GCG MSF reader (gnAlignedSequences::readMSF semantics: names from
+    the Name: header lines, sequence blocks after '//', '.' = gap)."""
+    fh, own = _open(path_or_fh, "r")
+    try:
+        names: list[str] = []
+        chunks: dict[str, list[str]] = {}
+        in_seqs = False
+        for line in fh:
+            s = line.strip()
+            if not in_seqs:
+                if s.startswith("Name:"):
+                    name = s.split()[1]
+                    names.append(name)
+                    chunks[name] = []
+                elif s.startswith("//"):
+                    in_seqs = True
+                continue
+            if not s:
+                continue
+            parts = s.split()
+            if parts[0] in chunks:
+                chunks[parts[0]].append("".join(parts[1:]).replace(".", "-"))
+        rows = np.stack([np.frombuffer("".join(chunks[n]).encode(), np.uint8)
+                         for n in names])
+        return rows, names
+    finally:
+        if own:
+            fh.close()
+
+
+def read_nexus(path_or_fh) -> tuple[np.ndarray, list[str]]:
+    """NEXUS data-block reader (non-interleaved matrix, as written by
+    write_nexus / gnAlignedSequences::outputNexus)."""
+    fh, own = _open(path_or_fh, "r")
+    try:
+        names: list[str] = []
+        chunks: dict[str, list[str]] = {}
+        in_matrix = False
+        for line in fh:
+            s = line.strip()
+            low = s.lower()
+            if low.startswith("matrix"):
+                in_matrix = True
+                continue
+            if not in_matrix:
+                continue
+            if s.startswith(";") or low.startswith("end;"):
+                break
+            if not s:
+                continue
+            parts = s.split()
+            if len(parts) < 2:
+                continue
+            name = parts[0]
+            if name not in chunks:
+                names.append(name)
+                chunks[name] = []
+            chunks[name].append("".join(parts[1:]).rstrip(";"))
+        rows = np.stack([np.frombuffer("".join(chunks[n]).encode(), np.uint8)
+                         for n in names])
+        return rows, names
+    finally:
+        if own:
+            fh.close()
+
+
+def read_mega(path_or_fh) -> tuple[np.ndarray, list[str]]:
+    """MEGA reader (#name headers, as written by write_mega /
+    gnAlignedSequences::outputMega)."""
+    fh, own = _open(path_or_fh, "r")
+    try:
+        names: list[str] = []
+        chunks: dict[str, list[str]] = {}
+        cur: str | None = None
+        for line in fh:
+            s = line.strip()
+            if s.startswith("#"):
+                tag = s[1:].strip()
+                if tag.lower() == "mega" or tag.upper().startswith("TITLE"):
+                    continue
+                cur = tag
+                if cur not in chunks:
+                    names.append(cur)
+                    chunks[cur] = []
+                continue
+            if s.upper().startswith("TITLE"):
+                continue
+            if cur is not None and s:
+                chunks[cur].append(s)
+        rows = np.stack([np.frombuffer("".join(chunks[n]).encode(), np.uint8)
+                         for n in names])
+        return rows, names
+    finally:
+        if own:
+            fh.close()
+
+
+def read_fasta_msa(path_or_fh) -> tuple[np.ndarray, list[str]]:
+    fh, own = _open(path_or_fh, "r")
+    try:
+        names: list[str] = []
+        chunks: list[list[str]] = []
+        for line in fh:
+            s = line.strip()
+            if s.startswith(">"):
+                names.append(s[1:].split()[0] if len(s) > 1 else "")
+                chunks.append([])
+            elif s and chunks:
+                chunks[-1].append(s)
+        rows = np.stack([np.frombuffer("".join(c).encode(), np.uint8)
+                         for c in chunks])
+        return rows, names
+    finally:
+        if own:
+            fh.close()
+
+
+def write_interval_xml(path_or_fh, ivs: IntervalList,
+                       names: list[str] | None = None):
+    """Alignment as XML (GenericIntervalList::WriteXML,
+    IntervalList.h:304-350): one <Interval> element per interval with
+    per-sequence <Segment start end orientation> children for each
+    aligned block."""
+    fh, own = _open(path_or_fh)
+    try:
+        G = ivs.intervals[0].seq_count if len(ivs) else \
+            len(getattr(ivs, "genomes", []) or [])
+        if names is None:
+            if getattr(ivs, "genomes", None):
+                names = [g.name or f"seq{i + 1}"
+                         for i, g in enumerate(ivs.genomes)]
+            else:
+                names = [f"seq{i + 1}" for i in range(G)]
+        fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        fh.write(f'<Alignment sequenceCount="{G}">\n')
+        for i, name in enumerate(names):
+            fh.write(f'  <Sequence id="{i}" name="{name}"/>\n')
+        for iv in ivs:
+            fh.write(f'  <Interval length="{iv.alignment_length}">\n')
+            starts = iv.starts()
+            lengths = iv.lengths()
+            for g in range(iv.seq_count):
+                s = int(starts[g])
+                if s == 0:
+                    continue
+                orient = "forward" if s > 0 else "reverse"
+                fh.write(f'    <Segment sequence="{g}" start="{abs(s)}" '
+                         f'length="{int(lengths[g])}" '
+                         f'orientation="{orient}"/>\n')
+            fh.write('  </Interval>\n')
+        fh.write('</Alignment>\n')
+    finally:
+        if own:
+            fh.close()
+
+
 # --------------------------------------------------------------------------
 # permutations (Aligner.cpp:1886-1949)
 # --------------------------------------------------------------------------

@@ -224,6 +224,109 @@ def _diagonal_signature(starts, valid):
     return invalid, maskbits, signbits, delta, pos_ref
 
 
+_WORD_BITS = 63  # sort-word payload bits (top bit clear: u64 compare safe)
+
+
+def _pack_sort_words(fields, word_bits: int = _WORD_BITS):
+    """Bit-pack (value, nbits) fields — MSB-first lexicographic order —
+    into the minimal list of uint64 sort words.  Comparing the word
+    tuple in order is identical to comparing the concatenated
+    bit-string, i.e. to a lexicographic multi-key sort over the fields,
+    so an N-operand K-key `lax.sort` collapses to a 1-3 word sort."""
+    total = sum(nb for _, nb in fields)
+    n_words = max(1, -(-total // word_bits))
+    shape = fields[0][0].shape
+    words = [jnp.zeros(shape, jnp.uint64) for _ in range(n_words)]
+    off = 0
+    for arr, nb in fields:
+        a = arr.astype(jnp.uint64)
+        start, end = off, off + nb
+        for w in range(n_words):
+            ws, we = w * word_bits, (w + 1) * word_bits
+            lo, hi = max(start, ws), min(end, we)
+            if lo >= hi:
+                continue
+            seg = a >> jnp.uint64(end - hi)
+            if hi - lo < 64:
+                seg = seg & jnp.uint64((1 << (hi - lo)) - 1)
+            words[w] = words[w] | (seg << jnp.uint64(we - hi))
+        off = end
+    return words
+
+
+def _unpack_sort_words(words, fields_bits, word_bits: int = _WORD_BITS):
+    """Inverse of _pack_sort_words: recover each field as uint64."""
+    out = []
+    off = 0
+    for nb in fields_bits:
+        start, end = off, off + nb
+        val = jnp.zeros_like(words[0])
+        for w, word in enumerate(words):
+            ws, we = w * word_bits, (w + 1) * word_bits
+            lo, hi = max(start, ws), min(end, we)
+            if lo >= hi:
+                continue
+            seg = word >> jnp.uint64(we - hi)
+            if hi - lo < 64:
+                seg = seg & jnp.uint64((1 << (hi - lo)) - 1)
+            val = val | (seg << jnp.uint64(end - hi))
+        out.append(val)
+        off = end
+    return out
+
+
+def _packed_diagonal_words(starts, valid, pos_bits: int):
+    """Diagonal-cluster signature as packed sort words.
+
+    Fields (MSB->LSB): invalid(1) | participation mask(G) | strand
+    bits(G) | biased per-genome diagonal(pos_bits+2 each) — plus
+    pos_ref in its own trailing word (the least-significant sort key,
+    kept separate so the cluster-gap rule can read it directly).  The
+    starts are fully recoverable from these fields (_recover_starts),
+    so the capacity-sized sort carries NO payload operands."""
+    R, G = starts.shape
+    present = starts != 0
+    pos = jnp.abs(starts).astype(jnp.int64) - 1
+    ref_idx = jnp.argmax(present, axis=1)
+    pos_ref = jnp.take_along_axis(pos, ref_idx[:, None], 1)[:, 0]
+    neg = starts < 0
+    delta = jnp.where(neg, pos + pos_ref[:, None], pos - pos_ref[:, None])
+    bias = jnp.int64(1) << (pos_bits + 1)
+    delta_b = jnp.where(present, delta + bias, 0)
+    wb = jnp.int64(1) << jnp.arange(G, dtype=jnp.int64)
+    maskbits = (present.astype(jnp.int64) * wb).sum(axis=1)
+    signbits = (neg.astype(jnp.int64) * wb).sum(axis=1)
+    invalid = (~valid).astype(jnp.int64)
+    fields = [(invalid, 1), (maskbits, G), (signbits, G)]
+    for g in range(G):
+        fields.append((delta_b[:, g], pos_bits + 2))
+    words = _pack_sort_words(fields)
+    posref_w = jnp.where(valid, pos_ref, (jnp.int64(1) << 62)
+                         ).astype(jnp.uint64)
+    return words, posref_w
+
+
+def _recover_starts(words, posref_sorted, G: int, pos_bits: int):
+    """Rebuild signed int32 starts from sorted signature words."""
+    fields_bits = [1, G, G] + [pos_bits + 2] * G
+    vals = _unpack_sort_words(words, fields_bits)
+    invalid = vals[0] != 0
+    mask, sign = vals[1], vals[2]
+    pos_ref = posref_sorted.astype(jnp.int64)
+    bias = jnp.int64(1) << (pos_bits + 1)
+    cols = []
+    for g in range(G):
+        db = vals[3 + g].astype(jnp.int64)
+        present = ((mask >> jnp.uint64(g)) & jnp.uint64(1)) == 1
+        negg = ((sign >> jnp.uint64(g)) & jnp.uint64(1)) == 1
+        delta = db - bias
+        posg = jnp.where(negg, delta - pos_ref, delta + pos_ref)
+        sgn = jnp.where(negg, -1, 1)
+        col = jnp.where(present & ~invalid, sgn * (posg + 1), 0)
+        cols.append(col.astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _fused_mum_pipeline(seed_len: int, chunk: int, capacity: int,
                         extend_capacity: int, repeat_limit: int,
@@ -251,33 +354,48 @@ def _fused_mum_pipeline(seed_len: int, chunk: int, capacity: int,
     starts = starts[:capacity]
     valid = jnp.arange(capacity) < jnp.minimum(n_rows, capacity)
 
-    # diagonal clustering: sort by signature, then cluster-break on any
-    # signature change or a ref-position gap > seed_len
-    invalid, maskbits, signbits, delta, pos_ref = _diagonal_signature(
-        starts, valid)
-    ops = (invalid, maskbits, signbits) + tuple(
-        delta[:, g] for g in range(G)) + (pos_ref,) + tuple(
-        starts[:, g] for g in range(G))
-    n_keys = 3 + G + 1
-    s = jax.lax.sort(ops, num_keys=n_keys, is_stable=False)
-    s_invalid, s_mask, s_sign = s[0], s[1], s[2]
-    s_delta = jnp.stack(s[3:3 + G], axis=1)
-    s_posref = s[3 + G]
-    s_starts = jnp.stack(s[4 + G:], axis=1)
+    # diagonal clustering: packed-signature sort (1-3 uint64 key words,
+    # no payload — starts are recovered from the signature), then
+    # cluster-break on any signature change or ref-position gap > seed_len
+    pos_bits = int(keys.shape[0]).bit_length()
+    sig_words, posref_w = _packed_diagonal_words(starts, valid, pos_bits)
+    n_words = len(sig_words)
+    s = jax.lax.sort(tuple(sig_words) + (posref_w,),
+                     num_keys=n_words + 1, is_stable=False)
+    s_words, s_posref_w = s[:n_words], s[n_words]
+    s_starts = _recover_starts(s_words, s_posref_w, G, pos_bits)
+    s_posref = s_posref_w.astype(jnp.int64)
+    s_valid_rows = jnp.any(s_starts != 0, axis=1)
+    word_change = jnp.zeros((capacity - 1,), bool)
+    for w in s_words:
+        word_change = word_change | (w[1:] != w[:-1])
     sig_change = jnp.concatenate([
         jnp.ones((1,), bool),
-        (s_mask[1:] != s_mask[:-1]) | (s_sign[1:] != s_sign[:-1])
-        | jnp.any(s_delta[1:] != s_delta[:-1], axis=1)
-        | (s_posref[1:] - s_posref[:-1] > seed_len)])
-    rep = sig_change & (s_invalid == 0)
+        word_change | (s_posref[1:] - s_posref[:-1] > seed_len)])
+    rep = sig_change & s_valid_rows
     n_reps = jnp.sum(rep.astype(jnp.int32))
 
-    # compact representatives to the front, slice to extend_capacity
-    comp_key = jnp.where(rep, 0, 1).astype(jnp.int32)
-    comp = jax.lax.sort(
-        (comp_key,) + tuple(s_starts[:, g] for g in range(G)),
-        num_keys=1, is_stable=True)
-    e_starts = jnp.stack(comp[1:], axis=1)[:extend_capacity]
+    # compact representatives to the front, slice to extend_capacity:
+    # single packed u64 key (non-rep bit | row index keeps it stable) +
+    # starts packed pairwise into u64 payload words
+    idx_bits = (capacity - 1).bit_length()
+    comp_key = ((~rep).astype(jnp.uint64) << jnp.uint64(idx_bits)) \
+        | jnp.arange(capacity, dtype=jnp.uint64)
+    payload = []
+    for g0 in range(0, G, 2):
+        hi = s_starts[:, g0].astype(jnp.uint32).astype(jnp.uint64)
+        lo = (s_starts[:, g0 + 1].astype(jnp.uint32).astype(jnp.uint64)
+              if g0 + 1 < G else jnp.zeros((capacity,), jnp.uint64))
+        payload.append((hi << jnp.uint64(32)) | lo)
+    comp = jax.lax.sort((comp_key,) + tuple(payload),
+                        num_keys=1, is_stable=False)
+    e_cols = []
+    for g in range(G):
+        w = comp[1 + g // 2]
+        half = (w >> jnp.uint64(32)) if g % 2 == 0 else \
+            (w & jnp.uint64(0xFFFFFFFF))
+        e_cols.append(half.astype(jnp.uint32).astype(jnp.int32))
+    e_starts = jnp.stack(e_cols, axis=1)[:extend_capacity]
     e_valid = jnp.arange(extend_capacity) < jnp.minimum(
         n_reps, extend_capacity)
 
@@ -324,7 +442,9 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
         chunk = max(seed_len, 128)
     total = sum(s.n_windows for s in smls)
     if capacity is None:
-        capacity = 1 << max(total - 1, 1).bit_length()
+        # every surviving run holds >=2 occurrences (ngids >= 2), so
+        # candidate rows are bounded by half the table
+        capacity = 1 << max(total // 2, 1).bit_length()
     extend_capacity = min(extend_capacity, capacity)
     keys_posorder = jnp.concatenate([s.keys for s in smls])
     keys, gid, pos = (jnp.concatenate(x) for x in zip(*[
@@ -372,10 +492,30 @@ def find_mums(genomes_or_smls, seed: int | None = None,
 
     Default semantics match MemHash with repeat_tolerance=0 /
     enumeration_tolerance=1: only seeds unique within every participating
-    genome generate matches (unique multi-MUMs).
+    genome generate matches (unique multi-MUMs).  The default path runs
+    the fused device pipeline (sort + enumeration + diagonal clustering +
+    extension in one XLA computation); tolerance>0 / no-extend modes use
+    the host orchestration below.
     """
     smls, seed = _as_smls(genomes_or_smls, seed)
     G = len(smls)
+    if repeat_tolerance == 0 and extend:
+        starts, lengths, valid, n_rows, n_reps = find_mums_device(
+            smls, repeat_limit=repeat_limit)
+        n_reps = int(n_reps)
+        if n_reps > valid.shape[0]:
+            # rare: more diagonal-cluster representatives than the default
+            # extension capacity — rerun with the exact requirement
+            starts, lengths, valid, n_rows, n_reps = find_mums_device(
+                smls, repeat_limit=repeat_limit,
+                extend_capacity=1 << (int(n_reps) - 1).bit_length())
+        v = np.asarray(valid)
+        out = MatchArray(np.asarray(starts)[v].astype(np.int64),
+                         np.asarray(lengths)[v].astype(np.int64)).dedup()
+        if min_multiplicity > 2:
+            keep = out.multiplicity() >= min_multiplicity
+            out = MatchArray(out.starts[keep], out.lengths[keep])
+        return out.canonical_sort()
     content, gid, pos, strand = _seed_table(smls)
     kept_occ, row_id, ref_strand, n_rows = _mum_seed_flags(
         content, gid, pos, strand, repeat_tolerance, repeat_limit)

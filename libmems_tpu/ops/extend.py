@@ -11,12 +11,25 @@ tests/oracle/refimpl.py) is:
     consistent strand parity; stop when no window in the next `seed_len`
     offsets matches (or a sequence boundary truncates the probe range).
 
-Here all candidates extend simultaneously: each probe round gathers a
-`chunk` of window comparisons per candidate per side, and the furthest
+Here all candidates extend simultaneously: each probe round fetches a
+`chunk`-wide window comparison per candidate per side, and the furthest
 reachable offset under the gap<=seed_len stepping rule is computed with
 vector scans (no per-seed sequential walk).  Left/right extension are
 independent (left growth preserves right-side probe coordinates since the
-probe anchor is left+length), so the two sides run as separate while-loops.
+probe anchor is left+length), so the two sides run separately.
+
+TPU performance structure:
+
+* every probe span is CONTIGUOUS in the key table (backward rows scan
+  [l-C, l-1], ahead rows [p+1, p+C]), so the fetch is a batched
+  `dynamic_slice` block gather, not an elementwise random gather;
+* probe tensors are laid out (rows, G, C) — the span axis C rides the
+  128-wide vector lanes; a (rows, C, G) layout would put G=2 in the
+  minor dimension and waste 98% of the VPU;
+* spaced seeds extend straight through isolated substitutions, so
+  matches are often tens of kb: after one round at the base chunk the
+  surviving (long) candidates escalate to an 8x-wide probe window,
+  covering length-L matches in O(L/8C) rounds instead of O(L/C).
 
 Parity trick: with canonical key = (content<<1 | strand_bit), the
 reference's per-genome parity (MatchFinder.h:283-289: !bit for forward
@@ -36,7 +49,8 @@ import jax
 import jax.numpy as jnp
 
 
-ROW_BLOCK = 4096  # rows extended per sequential block (bounds HBM live set)
+ROW_BLOCK = 4096   # rows extended per sequential block (bounds HBM live set)
+ESCALATE = 8       # long-match probe window = ESCALATE * chunk
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -54,10 +68,10 @@ def extend_matches(
     """Extend candidates to maximal matches. Returns (lefts, lengths).
 
     Rows are processed in ROW_BLOCK-sized tiles via `lax.map`: the probe
-    tensors are (rows, chunk, G) and at full candidate capacity their
-    while-loop live set exceeds HBM (the probe round keeps ~6 such
-    temporaries alive); a block still exposes ROW_BLOCK*chunk*G parallel
-    lanes — far past VPU saturation — while compile covers one block."""
+    tensors are (rows, G, chunk) and at full candidate capacity their
+    live set exceeds HBM; a block still exposes ROW_BLOCK*chunk*G
+    parallel lanes — far past VPU saturation — while blocks with no
+    active rows skip their probe loops entirely."""
     if chunk < seed_len:
         raise ValueError("chunk must be >= seed_len")
     R_all, G = lefts.shape
@@ -85,28 +99,46 @@ def extend_matches(
 def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
                   lefts, present, is_fwd, lengths):
     R, G = lefts.shape
-    d = jnp.arange(1, chunk + 1, dtype=jnp.int32)  # probe offsets
+    big = ESCALATE * chunk
 
     ref_idx = jnp.argmax(present, axis=1).astype(jnp.int32)
     fwd_flip = is_fwd.astype(keys_concat.dtype)  # parity adjustment bit
 
-    def probe_round(side, lefts, lengths, active):
-        l = lefts[:, None, :]                       # (R, 1, G)
+    # Sentinel-pad the key table by one max-chunk on each side so probe
+    # spans never need clamping (sentinel reads are masked by `valid`).
+    sentinel = jnp.full((big,), ~jnp.zeros((), keys_concat.dtype),
+                        keys_concat.dtype)
+    keys_padded = jnp.concatenate([sentinel, keys_concat, sentinel])
+
+    def probe_round(side, C, lefts, lengths, active):
+        d = jnp.arange(1, C + 1, dtype=jnp.int32)
+        l = lefts[:, :, None]                       # (R, G, 1)
         ln = lengths[:, None, None]                 # (R, 1, 1)
-        dd = d[None, :, None]                       # (1, C, 1)
-        fwd = is_fwd[:, None, :]
+        dd = d[None, None, :]                       # (1, 1, C)
+        fwd = is_fwd[:, :, None]
         back_q = l - dd
         ahead_q = l + ln - seed_len + dd
         q = jnp.where(fwd, back_q if side == 0 else ahead_q,
-                      ahead_q if side == 0 else back_q)
-        cnt = gen_cnt[:, None, :]
+                      ahead_q if side == 0 else back_q)   # (R, G, C)
+        cnt = gen_cnt[:, :, None]
         valid = (q >= 0) & (q < cnt)
-        qc = jnp.clip(q, 0, cnt - 1) + gen_off[:, None, :]
-        keys = keys_concat[qc] ^ fwd_flip[:, None, :]
+
+        # Contiguous span fetch: one dynamic_slice per (row, genome)
+        is_back = is_fwd if side == 0 else ~is_fwd  # (R, G)
+        back_start = lefts - C
+        ahead_start = lefts + lengths[:, None] - seed_len + 1
+        span_start = jnp.where(is_back, back_start, ahead_start) \
+            + gen_off + big  # +big: sentinel pad offset
+        slices = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(keys_padded, (s,), (C,))))(
+            span_start)                              # (R, G, C)
+        # backward rows: d -> slice[C-d] = reversed[d-1]; ahead: d -> slice[d-1]
+        keys = jnp.where(is_back[:, :, None], slices[:, :, ::-1], slices)
+        keys = keys ^ fwd_flip[:, :, None]
         ref_keys = jnp.take_along_axis(
-            keys, jnp.broadcast_to(ref_idx[:, None, None], (R, chunk, 1)), axis=2)
-        ok = jnp.where(present[:, None, :], valid & (keys == ref_keys), True)
-        match = jnp.all(ok, axis=2) & active[:, None]  # (R, C)
+            keys, jnp.broadcast_to(ref_idx[:, None, None], (R, 1, C)), axis=1)
+        ok = jnp.where(present[:, :, None], valid & (keys == ref_keys), True)
+        match = jnp.all(ok, axis=1) & active[:, None]  # (R, C)
 
         # furthest offset reachable with gaps <= seed_len between matches
         dm = jnp.where(match, d[None, :], 0)
@@ -114,7 +146,7 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
         pm_excl = jnp.concatenate(
             [jnp.zeros((R, 1), jnp.int32), pm_incl[:, :-1]], axis=1)
         bad = match & (d[None, :] - pm_excl > seed_len)
-        first_bad = jnp.min(jnp.where(bad, d[None, :], chunk + 1), axis=1)
+        first_bad = jnp.min(jnp.where(bad, d[None, :], C + 1), axis=1)
         reach = jnp.max(
             jnp.where(match & (d[None, :] < first_bad[:, None]), d[None, :], 0),
             axis=1)  # (R,)
@@ -131,21 +163,26 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
         room = jnp.where(is_fwd, back_room if side == 0 else ahead_room,
                          ahead_room if side == 0 else back_room)
         room = jnp.min(jnp.where(present, room, jnp.int32(2**30)), axis=1)
-        active = active & (reach + seed_len > chunk) & (room + reach > chunk)
+        active = active & (reach + seed_len > C) & (room + reach > C)
         return lefts, lengths, active
 
     def run_side(side, lefts, lengths):
+        active0 = jnp.any(present, axis=1)
+        # one round at the base chunk retires the short-match bulk ...
+        lefts, lengths, active = probe_round(side, chunk, lefts, lengths,
+                                             active0)
+
+        # ... surviving long matches escalate to an 8x window
         def cond(carry):
             _, _, active = carry
             return jnp.any(active)
 
         def body(carry):
             lefts, lengths, active = carry
-            return probe_round(side, lefts, lengths, active)
+            return probe_round(side, big, lefts, lengths, active)
 
-        active0 = jnp.any(present, axis=1)
         lefts, lengths, _ = jax.lax.while_loop(
-            cond, body, (lefts, lengths, active0))
+            cond, body, (lefts, lengths, active))
         return lefts, lengths
 
     lefts, lengths = run_side(0, lefts, lengths)

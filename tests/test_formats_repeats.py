@@ -109,6 +109,37 @@ def test_other_writers_smoke(rows):
         buf.getvalue().split("//")[1]
 
 
+def test_msf_nexus_mega_fasta_roundtrip(rows):
+    from libmems_tpu.formats import (read_fasta_msa, read_mega, read_msf,
+                                     read_nexus, write_msf, write_nexus,
+                                     write_mega, write_fasta_msa)
+    pairs = [(write_msf, read_msf), (write_nexus, read_nexus),
+             (write_mega, read_mega), (write_fasta_msa, read_fasta_msa)]
+    for writer, reader in pairs:
+        buf = io.StringIO()
+        writer(buf, rows, ["a", "b", "c"])
+        buf.seek(0)
+        back, names = reader(buf)
+        assert names == ["a", "b", "c"], reader.__name__
+        assert (back == rows).all(), reader.__name__
+
+
+def test_interval_xml(rearranged_pair):
+    from libmems_tpu.formats import write_interval_xml
+    buf = io.StringIO()
+    write_interval_xml(buf, rearranged_pair)
+    text = buf.getvalue()
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(text)
+    assert root.tag == "Alignment"
+    ivs = root.findall("Interval")
+    assert len(ivs) == len(rearranged_pair)
+    # the inverted block must appear as a reverse-orientation segment
+    orients = {seg.get("orientation") for iv in ivs
+               for seg in iv.findall("Segment")}
+    assert "reverse" in orients and "forward" in orients
+
+
 # -- permutations / islands / backbone ---------------------------------------
 
 @pytest.fixture(scope="module")
