@@ -51,6 +51,32 @@ import jax.numpy as jnp
 
 ROW_BLOCK = 4096   # rows extended per sequential block (bounds HBM live set)
 ESCALATE = 8       # long-match probe window = ESCALATE * chunk
+FETCH = "rows"     # span fetch strategy: "rows" (128-lane row gather +
+                   # barrel shift) or "slice" (batched dynamic_slice)
+
+
+def _fetch_spans(keys_padded, span_start, C: int):
+    """Fetch (R, C) contiguous key spans starting at span_start[r].
+
+    "rows" mode gathers whole 128-lane rows of the key table (the
+    embedding-lookup pattern the TPU gathers fastest) and then aligns
+    each span with a 7-stage barrel shift; "slice" mode is a batched
+    dynamic_slice per row."""
+    if FETCH == "slice":
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(keys_padded, (s,), (C,)))(
+            span_start)
+    n_rows = C // 128 + 1
+    k2 = keys_padded.reshape(-1, 128)
+    rb = span_start // 128
+    sh = (span_start % 128).astype(jnp.int32)
+    rows_idx = rb[:, None] + jnp.arange(n_rows, dtype=jnp.int32)
+    rows = k2[rows_idx]                          # (R, n_rows, 128)
+    v = rows.reshape(-1, n_rows * 128)
+    for k in range(7):                           # barrel shift left by sh
+        bit = ((sh >> k) & 1) == 1
+        v = jnp.where(bit[:, None], jnp.roll(v, -(1 << k), axis=1), v)
+    return v[:, :C]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -105,40 +131,51 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
     fwd_flip = is_fwd.astype(keys_concat.dtype)  # parity adjustment bit
 
     # Sentinel-pad the key table by one max-chunk on each side so probe
-    # spans never need clamping (sentinel reads are masked by `valid`).
-    sentinel = jnp.full((big,), ~jnp.zeros((), keys_concat.dtype),
-                        keys_concat.dtype)
-    keys_padded = jnp.concatenate([sentinel, keys_concat, sentinel])
+    # spans never need clamping (sentinel reads are masked by `valid`);
+    # round the total up to a 128-lane multiple for the row-gather fetch.
+    Ntot = keys_concat.shape[0]
+    tail = big + (-(Ntot + 2 * big + 128) % 128) + 128
+    fill = ~jnp.zeros((), keys_concat.dtype)
+    keys_padded = jnp.concatenate([
+        jnp.full((big,), fill, keys_concat.dtype), keys_concat,
+        jnp.full((tail,), fill, keys_concat.dtype)])
 
     def probe_round(side, C, lefts, lengths, active):
+        # G is static and small: unroll the genome axis so every probe
+        # tensor is (R, C) — second-minor R in sublanes, C in lanes, no
+        # sublane padding (an (R, G, C) layout pads G=2 up to 8 sublanes
+        # and quadruples the traffic of every elementwise op).
         d = jnp.arange(1, C + 1, dtype=jnp.int32)
-        l = lefts[:, :, None]                       # (R, G, 1)
-        ln = lengths[:, None, None]                 # (R, 1, 1)
-        dd = d[None, None, :]                       # (1, 1, C)
-        fwd = is_fwd[:, :, None]
-        back_q = l - dd
-        ahead_q = l + ln - seed_len + dd
-        q = jnp.where(fwd, back_q if side == 0 else ahead_q,
-                      ahead_q if side == 0 else back_q)   # (R, G, C)
-        cnt = gen_cnt[:, :, None]
-        valid = (q >= 0) & (q < cnt)
-
-        # Contiguous span fetch: one dynamic_slice per (row, genome)
-        is_back = is_fwd if side == 0 else ~is_fwd  # (R, G)
-        back_start = lefts - C
-        ahead_start = lefts + lengths[:, None] - seed_len + 1
-        span_start = jnp.where(is_back, back_start, ahead_start) \
+        dd = d[None, :]                              # (1, C)
+        is_back_all = is_fwd if side == 0 else ~is_fwd  # (R, G)
+        back_start_all = lefts - C
+        ahead_start_all = lefts + lengths[:, None] - seed_len + 1
+        span_start_all = jnp.where(is_back_all, back_start_all,
+                                   ahead_start_all) \
             + gen_off + big  # +big: sentinel pad offset
-        slices = jax.vmap(jax.vmap(
-            lambda s: jax.lax.dynamic_slice(keys_padded, (s,), (C,))))(
-            span_start)                              # (R, G, C)
-        # backward rows: d -> slice[C-d] = reversed[d-1]; ahead: d -> slice[d-1]
-        keys = jnp.where(is_back[:, :, None], slices[:, :, ::-1], slices)
-        keys = keys ^ fwd_flip[:, :, None]
-        ref_keys = jnp.take_along_axis(
-            keys, jnp.broadcast_to(ref_idx[:, None, None], (R, 1, C)), axis=1)
-        ok = jnp.where(present[:, :, None], valid & (keys == ref_keys), True)
-        match = jnp.all(ok, axis=1) & active[:, None]  # (R, C)
+
+        keys_g = []
+        valid_g = []
+        for g in range(G):
+            l = lefts[:, g:g + 1]                    # (R, 1)
+            fwd = is_fwd[:, g:g + 1]
+            back_q = l - dd
+            ahead_q = l + lengths[:, None] - seed_len + dd
+            q = jnp.where(fwd, back_q if side == 0 else ahead_q,
+                          ahead_q if side == 0 else back_q)   # (R, C)
+            valid_g.append((q >= 0) & (q < gen_cnt[:, g:g + 1]))
+            sl = _fetch_spans(keys_padded, span_start_all[:, g], C)
+            # backward: d -> slice[C-d] = reversed[d-1]; ahead: d -> slice[d-1]
+            kg = jnp.where(is_back_all[:, g:g + 1], sl[:, ::-1], sl)
+            keys_g.append(kg ^ fwd_flip[:, g:g + 1])
+
+        ref_keys = keys_g[0]
+        for g in range(1, G):
+            ref_keys = jnp.where(ref_idx[:, None] == g, keys_g[g], ref_keys)
+        match = active[:, None]
+        for g in range(G):
+            ok = valid_g[g] & (keys_g[g] == ref_keys)
+            match = match & jnp.where(present[:, g:g + 1], ok, True)
 
         # furthest offset reachable with gaps <= seed_len between matches
         dm = jnp.where(match, d[None, :], 0)

@@ -1,0 +1,77 @@
+"""Isolated extension-kernel timing on realistic candidate rows."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libmems_tpu import seeds as seedlib
+from libmems_tpu.matchfind import (_mum_seed_flags, _sorted_seed_table,
+                                   _cluster_reduce_np)
+from libmems_tpu.ops.extend import extend_matches
+from libmems_tpu.sml import SortedMerList
+from bench import _synthetic_pair
+
+
+def main():
+    L = 4_600_000
+    a, b = _synthetic_pair(L)
+    seed = seedlib.get_seed(seedlib.default_seed_weight(L), 0)
+    seed_len = seedlib.seed_length(seed)
+    smls = [SortedMerList.create(a, seed), SortedMerList.create(b, seed)]
+    keys = jnp.concatenate([s.keys for s in smls])
+    n0, n1 = smls[0].n_windows, smls[1].n_windows
+    gid = jnp.concatenate([jnp.zeros((n0,), jnp.int32),
+                           jnp.ones((n1,), jnp.int32)])
+    pos = jnp.concatenate([jnp.arange(n0, dtype=jnp.int32),
+                           jnp.arange(n1, dtype=jnp.int32)])
+    content, gids, poss, strand = _sorted_seed_table(keys, gid, pos)
+    kept_occ, row_id, ref_strand, n_rows = _mum_seed_flags(
+        content, gids, poss, strand, 0, 1000)
+    n_rows = int(n_rows)
+    kept = np.asarray(kept_occ)
+    rid = np.asarray(row_id)[kept]
+    g = np.asarray(gids)[kept]
+    p = np.asarray(poss)[kept].astype(np.int64)
+    st = np.asarray(strand)[kept]
+    rst = np.asarray(ref_strand)[kept]
+    starts = np.zeros((n_rows, 2), dtype=np.int64)
+    starts[rid, g] = np.where(st == rst, 1, -1) * (p + 1)
+    print("candidate rows:", n_rows, flush=True)
+    t0 = time.perf_counter()
+    cstarts, clengths = _cluster_reduce_np(
+        starts, np.full(n_rows, seed_len, np.int64), seed_len)
+    print(f"cluster_reduce_np: {time.perf_counter()-t0:.2f}s ->",
+          len(cstarts), "reps", flush=True)
+
+    R = len(cstarts)
+    cnts = np.array([n0, n1], np.int32)
+    offs = np.array([0, n0], np.int32)
+    for cap_pow in (17,):
+        cap = 1 << cap_pow
+        sp = np.zeros((cap, 2), np.int64)
+        sp[:R] = cstarts[:cap]
+        present = jnp.asarray(sp != 0)
+        lefts = jnp.where(present, jnp.abs(jnp.asarray(sp)) - 1, 0
+                          ).astype(jnp.int32)
+        is_fwd = jnp.asarray(sp > 0)
+        lengths = jnp.full((cap,), seed_len, jnp.int32)
+        go = jnp.broadcast_to(jnp.asarray(offs), (cap, 2))
+        gc = jnp.broadcast_to(jnp.asarray(cnts), (cap, 2))
+        for chunk in (512, 128, 64):
+            out = extend_matches(keys, seed_len, chunk, go, gc, lefts,
+                                 present, is_fwd, lengths)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = extend_matches(keys, seed_len, chunk, go, gc, lefts,
+                                     present, is_fwd, lengths)
+                jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 3
+            print(f"extend cap=2^{cap_pow} chunk={chunk}: {dt*1e3:9.1f} ms",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
