@@ -40,7 +40,8 @@ from libmems_tpu.interval import Interval, IntervalList, write_xmfa, read_xmfa
 from libmems_tpu.tree import TreeNode, neighbor_joining, midpoint_root, \
     parse_newick, write_newick
 from libmems_tpu.distance import distance_matrix, identity_matrix, \
-    single_copy_distance
+    single_copy_distance, breakpoint_distance_matrix
+from libmems_tpu.interval import marble
 from libmems_tpu.msa import align_codes, refine
 from libmems_tpu.progressive import ProgressiveConfig, progressive_align
 from libmems_tpu.backbone import detect_backbone, write_backbone_seq_coordinates, \
@@ -73,6 +74,8 @@ __all__ = [
     "distance_matrix",
     "identity_matrix",
     "single_copy_distance",
+    "breakpoint_distance_matrix",
+    "marble",
     "align_codes",
     "refine",
     "ProgressiveConfig",

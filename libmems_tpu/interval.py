@@ -190,6 +190,70 @@ def interval_from_matches(matches: MatchArray, member_idx: np.ndarray,
     return Interval(blocks=blocks, seq_count=G)
 
 
+def _split_gap_block(b: Block, size: int) -> list[Block]:
+    """Split a single-genome gap block into <=size-column pieces, in
+    alignment-column order (Interval::Marble's CropEnd/CropStart loop,
+    Interval.h:421-438).  Reverse-strand blocks read right-to-left, so
+    their leading columns are the highest genome coordinates."""
+    g = int(np.flatnonzero(b.starts != NO_MATCH)[0])
+    s, L = int(b.starts[g]), int(b.lengths[g])
+    if L <= size:
+        return [b]
+    G = len(b.starts)
+    pieces = []
+    off = 0
+    while off < L:
+        ln = min(size, L - off)
+        gs = np.zeros(G, dtype=np.int64)
+        gl = np.zeros(G, dtype=np.int64)
+        if s > 0:
+            gs[g] = s + off
+        else:
+            gs[g] = -(abs(s) + L - off - ln)
+        gl[g] = ln
+        pieces.append(Block(gs, gl))
+        off += ln
+    return pieces
+
+
+def marble(iv: Interval, size: int, rng_seed: int = 0) -> Interval:
+    """Interval::Marble (libMems/Interval.h:410-480): bound the
+    unaligned chunk size the gapped aligner sees by splitting
+    single-genome gap blocks into <=size pieces and interleaving the
+    pieces from different genomes between consecutive anchors, choosing
+    sides by Mersenne-twister draws (the reference's RandTwisterDouble;
+    np.random.MT19937 is the same generator family).
+
+    Multi-genome blocks (anchors / gapped chunks) keep their positions;
+    only the runs of gap blocks between them are re-ordered.
+    """
+    rng = np.random.Generator(np.random.MT19937(rng_seed))
+    out: list[Block] = []
+    pending: dict[int, list[Block]] = {}
+
+    def flush():
+        queues = [q for q in pending.values() if q]
+        while queues:
+            if len(queues) == 1:
+                pick = queues[0]
+            else:
+                pick = queues[int(rng.random() * len(queues))]
+            out.append(pick.pop(0))
+            queues = [q for q in queues if q]
+        pending.clear()
+
+    for b in iv.blocks:
+        present = b.starts != NO_MATCH
+        if b.rows is None and int(present.sum()) == 1:
+            g = int(np.flatnonzero(present)[0])
+            pending.setdefault(g, []).extend(_split_gap_block(b, size))
+        else:
+            flush()
+            out.append(b)
+    flush()
+    return Interval(blocks=out, seq_count=iv.seq_count)
+
+
 @dataclass
 class IntervalList:
     """All intervals of one alignment + source genome metadata

@@ -87,6 +87,31 @@ class MatchArray:
         keep = masks == seq_mask
         return MatchArray(self.starts[keep], self.lengths[keep])
 
+    def project(self, seq_idx, min_multiplicity: int = 2,
+                normalize: bool = True) -> "MatchArray":
+        """Project onto a subset of genomes (MatchProjectionAdapter,
+        libMems/MatchProjectionAdapter.h:21-60; pairwise case =
+        PairwiseMatchAdapter, PairwiseMatchAdapter.h).
+
+        Keeps matches present in >= min_multiplicity of the selected
+        genomes.  With normalize=True the projected match is inverted
+        when its first present genome is on the reverse strand, so the
+        leading genome always reads forward (the reference's pairwise
+        convention for seeding profile alignment).
+        """
+        seq_idx = np.asarray(seq_idx, dtype=np.int64)
+        starts = self.starts[:, seq_idx].copy()
+        keep = (starts != NO_MATCH).sum(axis=1) >= min_multiplicity
+        starts = starts[keep]
+        lengths = self.lengths[keep].copy()
+        if normalize and len(starts):
+            present = starts != NO_MATCH
+            first = np.argmax(present, axis=1)
+            lead = starts[np.arange(len(starts)), first]
+            flip = lead < 0
+            starts[flip] = -starts[flip]
+        return MatchArray(starts, lengths)
+
     def canonical_sort(self) -> "MatchArray":
         """Deterministic order: lexicographic by (starts..., length)."""
         keys = np.concatenate([self.starts, self.lengths[:, None]], axis=1)
