@@ -547,6 +547,118 @@ def find_mums(genomes_or_smls, seed: int | None = None,
     return out.canonical_sort()
 
 
+def _chunk_rows_to_matches(smls, content, gid, pos, strand,
+                           repeat_limit: int) -> MatchArray:
+    """Run seed enumeration + clustering + extension on one sorted
+    content-range slice of the seed table (host orchestration)."""
+    G = len(smls)
+    kept_occ, row_id, ref_strand, n_rows = _mum_seed_flags(
+        jnp.asarray(content), jnp.asarray(gid), jnp.asarray(pos),
+        jnp.asarray(strand), 0, repeat_limit)
+    n_rows = int(n_rows)
+    kept = np.asarray(kept_occ)
+    if n_rows == 0 or not kept.any():
+        return MatchArray.empty(G)
+    rid = np.asarray(row_id)[kept]
+    g = gid[kept]
+    p = pos[kept].astype(np.int64)
+    st = strand[kept]
+    ref_st = np.asarray(ref_strand)[kept]
+    starts = np.zeros((n_rows, G), dtype=np.int64)
+    sign = np.where(st == ref_st, 1, -1).astype(np.int64)
+    starts[rid, g] = sign * (p + 1)
+    seed_len = smls[0].seed_length
+    lengths = np.full((n_rows,), seed_len, dtype=np.int64)
+    starts, lengths = _cluster_reduce_np(starts, lengths, seed_len)
+    starts, lengths = _extend_rows(smls, starts, lengths)
+    return MatchArray(starts, lengths)
+
+
+def find_mums_checkpointed(genomes_or_smls, state_path: str,
+                           seed: int | None = None, n_chunks: int = 8,
+                           repeat_limit: int = MER_REPEAT_LIMIT,
+                           min_multiplicity: int = 2) -> MatchArray:
+    """Resumable multi-MUM search: the TPU analog of the reference's
+    match-search checkpointing (MemHash::FindMatchesFromPosition + the
+    SML offset log, libMems/MemHash.cpp:109-127, MatchFinder.h:75-81,
+    and MemHash::WriteFile/LoadFile match persistence, cpp:266-327).
+
+    The canonical seed-content space is split at run boundaries into
+    n_chunks ranges, processed in order.  After each range the partial
+    match list (reference match-list-v3 text format) and a cursor are
+    persisted:  state_path + ".json" holds {seed, n_chunks, next_chunk};
+    state_path + ".matches" holds matches found so far.  Re-invocation
+    with the same inputs resumes at the first unfinished range; a
+    completed state returns the final list without re-searching.
+    Results are identical to find_mums (every equal-content run falls
+    entirely inside one range, and extension probes the full genomes).
+    """
+    import json
+    import os
+
+    from libmems_tpu.match import read_match_list, write_match_list
+
+    smls, seed_pat = _as_smls(genomes_or_smls, seed)
+    G = len(smls)
+    meta_path = state_path + ".json"
+    matches_path = state_path + ".matches"
+    total = sum(s.n_windows for s in smls)
+
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("seed") != int(seed_pat) or \
+                meta.get("total_windows") != total or \
+                meta.get("n_chunks") != n_chunks:
+            meta = None  # stale state for different inputs: restart
+    acc = MatchArray.empty(G)
+    next_chunk = 0
+    if meta is not None:
+        next_chunk = int(meta["next_chunk"])
+        if os.path.exists(matches_path):
+            acc, _, _ = read_match_list(matches_path)
+
+    def finalize(m: MatchArray) -> MatchArray:
+        m = m.dedup()
+        if min_multiplicity > 2:
+            keep = m.multiplicity() >= min_multiplicity
+            m = MatchArray(m.starts[keep], m.lengths[keep])
+        return m.canonical_sort()
+
+    if meta is not None and next_chunk >= n_chunks:
+        return finalize(acc)
+
+    content, gid, pos, strand = (np.asarray(a)
+                                 for a in _seed_table(smls))
+    # chunk boundaries at run starts so no equal-content run straddles
+    cuts = [0]
+    for c in range(1, n_chunks):
+        b = min(c * total // n_chunks, total)
+        b = int(np.searchsorted(content, content[min(b, total - 1)],
+                                side="left")) if total else 0
+        cuts.append(max(b, cuts[-1]))
+    cuts.append(total)
+
+    filenames = [getattr(s, "filename", "") or "null" for s in smls]
+    seq_lengths = [int(s.length) for s in smls]
+    for c in range(next_chunk, n_chunks):
+        lo, hi = cuts[c], cuts[c + 1]
+        if hi > lo:
+            part = _chunk_rows_to_matches(
+                smls, content[lo:hi], gid[lo:hi], pos[lo:hi],
+                strand[lo:hi], repeat_limit)
+            if part.n_matches:
+                acc = MatchArray.concat([acc, part])
+        write_match_list(matches_path + ".tmp", acc, filenames, seq_lengths)
+        os.replace(matches_path + ".tmp", matches_path)
+        with open(meta_path + ".tmp", "w") as fh:
+            json.dump({"seed": int(seed_pat), "n_chunks": n_chunks,
+                       "next_chunk": c + 1, "total_windows": total}, fh)
+        os.replace(meta_path + ".tmp", meta_path)
+    return finalize(acc)
+
+
 def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
                        repeat_limit: int = MER_REPEAT_LIMIT,
                        extend: bool = True) -> MatchArray:
