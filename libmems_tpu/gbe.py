@@ -31,35 +31,47 @@ from libmems_tpu.lcb import LCBSet, UNASSIGNED
 REMOVED = -2
 
 
-def _copy_lcbset(lcbs: LCBSet) -> LCBSet:
-    return LCBSet(left_end=lcbs.left_end.copy(),
-                  right_end=lcbs.right_end.copy(),
-                  left_adjacency=lcbs.left_adjacency.copy(),
-                  right_adjacency=lcbs.right_adjacency.copy(),
-                  lcb_id=lcbs.lcb_id.copy(), weight=lcbs.weight.copy(),
-                  members=list(lcbs.members),
-                  to_be_deleted=lcbs.to_be_deleted.copy())
+def undo_journal(journal: list) -> None:
+    """Reverse every (array, index, old_value) write in LIFO order —
+    the undoLcbRemoval analog (GBE.cpp:93-144) generalized to exact
+    state restoration."""
+    for arr, idx, old in reversed(journal):
+        arr[idx] = old
 
 
-def remove_and_coalesce(lcbs: LCBSet, lcbI: int) -> tuple[int, list[int]]:
+def _jset(journal, arr, idx, val):
+    if journal is not None:
+        journal.append((arr, idx, arr[idx].copy()
+                        if hasattr(arr[idx], "copy") else arr[idx]))
+    arr[idx] = val
+
+
+def remove_and_coalesce(lcbs: LCBSet, lcbI: int, journal: list | None = None
+                        ) -> tuple[int, list[int], list[tuple[int, int]]]:
     """Remove LCB lcbI, re-link adjacencies, coalesce newly-collinear
-    neighbors.  Returns (removed_count, impact_list) — removed_count is
-    1 + number of coalesces; impact_list are LCB ids whose removal score
-    may have changed (RemoveLCBandCoalesce, GBE.cpp:147-271)."""
+    neighbors.  Returns (removed_count, impact_list, id_remaps) —
+    removed_count is 1 + number of coalesces; impact_list are LCB ids
+    whose removal score may have changed; id_remaps records (old_id,
+    new_id) for coalesces and (lcbI, -1) for the deletion, in operation
+    order (RemoveLCBandCoalesce, GBE.cpp:147-271).  When `journal` is a
+    list, every mutation is recorded so undo_journal() restores the
+    exact pre-call state (the reference's probe-then-undo pattern,
+    GBE.cpp:445-465, without copying the structure)."""
     la, ra = lcbs.left_adjacency, lcbs.right_adjacency
     G = la.shape[1]
     impact: list[int] = []
+    remaps: list[tuple[int, int]] = [(lcbI, -1)]
 
-    lcbs.lcb_id[lcbI] = REMOVED
+    _jset(journal, lcbs.lcb_id, lcbI, REMOVED)
     orig_left = la[lcbI].copy()
     orig_right = ra[lcbI].copy()
 
     for g in range(G):
         l_adj, r_adj = orig_left[g], orig_right[g]
         if l_adj != UNASSIGNED:
-            ra[l_adj, g] = r_adj
+            _jset(journal, ra, (l_adj, g), r_adj)
         if r_adj != UNASSIGNED and r_adj != lcbs.n:
-            la[r_adj, g] = l_adj
+            _jset(journal, la, (r_adj, g), l_adj)
 
     for g in range(G):
         for adj in (orig_left[g], orig_right[g]):
@@ -101,25 +113,29 @@ def remove_and_coalesce(lcbs: LCBSet, lcbI: int) -> tuple[int, list[int]]:
             continue
 
         # coalesce right into left
-        lcbs.lcb_id[r_adj] = l_adj
-        lcbs.weight[l_adj] += lcbs.weight[r_adj]
+        _jset(journal, lcbs.lcb_id, r_adj, l_adj)
+        _jset(journal, lcbs.weight, l_adj,
+              lcbs.weight[l_adj] + lcbs.weight[r_adj])
+        remaps.append((int(r_adj), int(l_adj)))
         for g2 in range(G):
             j_ori = lcbs.left_end[l_adj, g2] > 0
             rr = int(ra[r_adj, g2])
             rl = int(la[r_adj, g2])
             if j_ori == orientation:
-                lcbs.right_end[l_adj, g2] = lcbs.right_end[r_adj, g2]
-                ra[l_adj, g2] = rr
+                _jset(journal, lcbs.right_end, (l_adj, g2),
+                      lcbs.right_end[r_adj, g2])
+                _jset(journal, ra, (l_adj, g2), rr)
                 if rr != UNASSIGNED:
-                    la[rr, g2] = l_adj
+                    _jset(journal, la, (rr, g2), l_adj)
             else:
-                lcbs.left_end[l_adj, g2] = lcbs.left_end[r_adj, g2]
-                la[l_adj, g2] = rl
+                _jset(journal, lcbs.left_end, (l_adj, g2),
+                      lcbs.left_end[r_adj, g2])
+                _jset(journal, la, (l_adj, g2), rl)
                 if rl != UNASSIGNED:
-                    ra[rl, g2] = l_adj
+                    _jset(journal, ra, (rl, g2), l_adj)
         removed_count += 1
 
-    return removed_count, sorted(set(impact))
+    return removed_count, sorted(set(impact)), remaps
 
 
 class SimpleBreakpointScorer:
@@ -140,8 +156,10 @@ class SimpleBreakpointScorer:
         return self.total_weight - self.bp_count * self.bp_penalty
 
     def _probe_removed(self, lcbI: int) -> int:
-        sim = _copy_lcbset(self.lcbs)
-        removed, _ = remove_and_coalesce(sim, lcbI)
+        # probe-and-undo via the mutation journal: no O(n) copy per move
+        journal: list = []
+        removed, _, _ = remove_and_coalesce(self.lcbs, lcbI, journal)
+        undo_journal(journal)
         return removed
 
     def move_score(self, lcbI: int) -> float:
@@ -159,7 +177,7 @@ class SimpleBreakpointScorer:
         return self.move_score(lcbI) == move_score
 
     def remove(self, lcbI: int) -> list[tuple[float, int]]:
-        bp_removed, impact = remove_and_coalesce(self.lcbs, lcbI)
+        bp_removed, impact, _ = remove_and_coalesce(self.lcbs, lcbI)
         self.total_weight -= float(self.lcbs.weight[lcbI])
         self.bp_count -= bp_removed
         return [(self.move_score(i), i) for i in impact
@@ -189,7 +207,7 @@ class GreedyRemovalScorer:
         return self.move_score(lcbI) == move_score
 
     def remove(self, lcbI: int) -> list[tuple[float, int]]:
-        _, impact = remove_and_coalesce(self.lcbs, lcbI)
+        _, impact, _ = remove_and_coalesce(self.lcbs, lcbI)
         self.total_weight -= (float(self.lcbs.weight[lcbI])
                               - self.min_weight)
         return [(self.move_score(i), i) for i in impact

@@ -423,6 +423,181 @@ def _fused_mum_pipeline(seed_len: int, chunk: int, capacity: int,
     return srows[:, :G], srows[:, G], uniq, n_rows, n_reps
 
 
+# --------------------------------------------------------------------------
+# fused PAIRWISE fast path (G == 2, default unique-MUM semantics)
+# --------------------------------------------------------------------------
+#
+# For two genomes the general machinery above collapses: a seed run
+# survives MemHash's repeat_tolerance=0 enumeration iff it has EXACTLY two
+# occurrences, one per genome (any longer run puts >=2 occurrences in one
+# genome; MemHash.cpp:139-162).  That makes every stage expressible as
+# neighbor comparisons on ONE sorted uint64 word — no segmented scans, no
+# scatters, no capacity-padded candidate tables (XLA scatter measures
+# ~125x slower than sort per element on TPU v5e; see PERF.md):
+#
+#   pack  (content | gid | pos | strand) -> one u64 per window
+#   sort  the 2N words (single-operand lax.sort)
+#   flags exact-pair runs via shifted compares
+#   sort  cluster words (fwd | diagonal | posA) — groups each maximal
+#         match's seeds contiguously (replaces MemHash offset buckets)
+#   sort  (non-rep | cluster word | capped span) compacts the (rare)
+#         cluster representatives to the front; the cluster EXTENT seeds
+#         extension lengths so the batched extension kernel probes only
+#         the unexplored tails instead of re-walking the whole match span
+#   extend + dedup as in the general pipeline.
+
+def _pair_pos_bits(total_windows: int) -> int:
+    return max(int(total_windows).bit_length(), 8)
+
+
+def pair_fast_path_ok(smls) -> bool:
+    """Fast path needs the packed seed word (2*weight + 2 + pos_bits + 1
+    bits) and the cluster word (2*pos_bits + 4 bits) to fit u64, G == 2."""
+    if len(smls) != 2:
+        return False
+    pb = _pair_pos_bits(max(s.n_windows for s in smls))
+    return 2 * smls[0].seed_weight + 3 + pb <= 64 and pb <= 30
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
+                         extend_capacity: int, repeat_limit: int,
+                         keys_posorder, keys_a, keys_b,
+                         gen_off, gen_cnt):
+    """G=2 unique-MUM pipeline: one sort + neighbor flags + one cluster
+    sort + top_k compaction + span-seeded extension.  Static shapes.
+
+    Returns (starts int32[EC, 2], lengths, valid, n_rows, n_reps) with the
+    same contract as _fused_mum_pipeline.
+    """
+    EC = extend_capacity
+    pb = pos_bits
+    u = jnp.uint64
+
+    def pack(keys, gid):
+        content = (keys >> 1).astype(u)
+        strand = (keys & 1).astype(u)
+        n = keys.shape[0]
+        pos = jnp.arange(n, dtype=jnp.uint32).astype(u)
+        return (content << u(pb + 2)) | (u(gid) << u(pb + 1)) \
+            | (pos << u(1)) | strand
+
+    w = jnp.concatenate([pack(keys_a, 0), pack(keys_b, 1)])
+    w = jax.lax.sort(w)
+
+    c = w >> u(pb + 2)
+    gid = ((w >> u(pb + 1)) & u(1)).astype(jnp.uint32)
+    pos = ((w >> u(1)) & u((1 << pb) - 1)).astype(jnp.int32)
+    strand = (w & u(1)).astype(jnp.uint32)
+
+    inf = ~jnp.zeros((1,), c.dtype)
+
+    def nxt(x, k=1, fill=None):
+        f = jnp.full((k,), fill if fill is not None else 0, x.dtype)
+        return jnp.concatenate([x[k:], f])
+
+    c1 = nxt(c, 1, ~jnp.uint64(0) >> jnp.uint64(pb + 2))
+    c2 = nxt(c, 2, ~jnp.uint64(0) >> jnp.uint64(pb + 2))
+    cp = jnp.concatenate([inf, c[:-1]])
+    g1 = nxt(gid, 1)
+    # exact-pair run: len 2, one occurrence per genome (row i = genome 0)
+    surv = (c == c1) & (c != cp) & (c1 != c2) & (gid == 0) & (g1 == 1)
+
+    posA = pos
+    posB = nxt(pos, 1)
+    fwd = strand == nxt(strand, 1)
+
+    # cluster word: (fwd | biased diagonal | posA); invalid rows sort last
+    delta_b = jnp.where(fwd,
+                        (posB - posA + (1 << pb)).astype(u),
+                        (posB + posA).astype(u))
+    cw = (fwd.astype(u) << u(2 * pb + 2)) | (delta_b << u(pb)) \
+        | posA.astype(u)
+    cw = jnp.where(surv, cw, ~u(0))
+    cw = jax.lax.sort(cw)
+
+    valid_c = cw != ~u(0)
+    s_posA = (cw & u((1 << pb) - 1)).astype(jnp.int32)
+    head = cw >> u(pb)
+    prev_head = jnp.concatenate([inf, head[:-1]])
+    prev_posA = jnp.concatenate([jnp.zeros((1,), jnp.int32), s_posA[:-1]])
+    rep = valid_c & ((head != prev_head)
+                     | (s_posA - prev_posA > seed_len))
+    n_cands = jnp.sum(surv.astype(jnp.int32))
+    n_reps = jnp.sum(rep.astype(jnp.int32))
+
+    # per-row cluster extent (posA of the cluster's LAST member) via a
+    # reversed segmented cummax: cluster ids ascend, so on the flipped
+    # array (max_id - cluster_id) ascends and a plain cummax of
+    # (segment << 32 | posA) resets at each cluster boundary.  The extent
+    # seeds the extension length so the extension kernel probes only the
+    # unexplored tails of each match instead of re-walking the known
+    # chain of seeds.
+    cluster_id = jnp.cumsum(rep.astype(jnp.int64)) - 1
+    seg_rev = (cluster_id[-1] - cluster_id)[::-1]
+    # invalid rows trail the last cluster: zero their posA so they never
+    # inflate its extent
+    posA_ext = jnp.where(valid_c, s_posA, 0)
+    packed_rev = (seg_rev << 32) | posA_ext[::-1].astype(jnp.int64)
+    last_posA = (jax.lax.cummax(packed_rev)[::-1]
+                 & 0xFFFFFFFF).astype(jnp.int32)
+    sb = max(0, 60 - 2 * pb)  # span bits left under (1 | cw) in 64
+    sb = min(sb, 13)
+    span_c = jnp.clip(last_posA - s_posA, 0, (1 << sb) - 1)
+
+    # compact reps to the front with ONE single-word sort: non-reps get
+    # the top bit -> sort to the back; the capped span rides in the low
+    # 13 bits (a short span only means extension starts probing earlier
+    # along the chain — never incorrect).  top_k is NOT used here: it
+    # costs as much as a full sort at this scale and its first
+    # compilation takes minutes (see PERF.md).
+    word3 = ((~rep).astype(u) << u(63)) | (cw << u(sb)) \
+        | span_c.astype(u)
+    word3 = jax.lax.sort(word3)[:EC]
+    e_valid = (word3 >> u(63)) == 0
+    e_valid = e_valid & (jnp.arange(EC) < n_reps)
+    rep_cw = (word3 >> u(sb)) & u((1 << (2 * pb + 3)) - 1)
+    r_posA = (rep_cw & u((1 << pb) - 1)).astype(jnp.int32)
+    r_delta = ((rep_cw >> u(pb)) & u((1 << (pb + 2)) - 1)).astype(jnp.int32)
+    r_fwd = ((rep_cw >> u(2 * pb + 2)) & u(1)) == 1
+    span = (word3 & u((1 << sb) - 1)).astype(jnp.int32) if sb else \
+        jnp.zeros((EC,), jnp.int32)
+    last_posA = r_posA + span
+
+    lengths0 = jnp.where(e_valid, span + seed_len, seed_len)
+    # genome-B left end of the cluster-covering match
+    posB_rep = jnp.where(r_fwd, r_delta - (1 << pb) + r_posA,
+                         r_delta - r_posA)
+    leftB = jnp.where(r_fwd, posB_rep, r_delta - last_posA)
+    leftB = jnp.maximum(leftB, 0)
+
+    lefts = jnp.stack([r_posA, leftB], axis=1)
+    present = jnp.broadcast_to(e_valid[:, None], (EC, 2))
+    is_fwd = jnp.stack([jnp.ones((EC,), bool), r_fwd], axis=1)
+    lefts = jnp.where(present, lefts, 0)
+    lefts, lengths = extend_matches(
+        keys_posorder, seed_len, chunk,
+        jnp.broadcast_to(gen_off, (EC, 2)),
+        jnp.broadcast_to(gen_cnt, (EC, 2)),
+        lefts, present, is_fwd, lengths0)
+    signB = jnp.where(r_fwd, 1, -1)
+    out_starts = jnp.stack([
+        jnp.where(e_valid, lefts[:, 0] + 1, 0),
+        jnp.where(e_valid, signB * (lefts[:, 1] + 1), 0)], axis=1)
+
+    # dedup: lexicographic sort of (starts, length), mark first of run
+    sort_ops = (out_starts[:, 0], out_starts[:, 1], lengths,
+                (~e_valid).astype(jnp.int32))
+    sorted_ops = jax.lax.sort(sort_ops, num_keys=4, is_stable=False)
+    srows = jnp.stack(sorted_ops[:3], axis=1)
+    svalid = sorted_ops[3] == 0
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(srows[1:] != srows[:-1], axis=1)])
+    uniq = svalid & first
+    return srows[:, :2], srows[:, 2], uniq, n_cands, n_reps
+
+
 def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
                      extend_capacity: int = 1 << 17,
                      chunk: int | None = None,
@@ -441,6 +616,18 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
     if chunk is None:
         chunk = max(seed_len, 128)
     total = sum(s.n_windows for s in smls)
+    if pair_fast_path_ok(smls):
+        pb = _pair_pos_bits(max(s.n_windows for s in smls))
+        extend_capacity = min(extend_capacity,
+                              1 << max((total - 1).bit_length() - 1, 1))
+        keys_posorder = jnp.concatenate([s.keys for s in smls])
+        cnts = jnp.asarray(np.array([s.n_windows for s in smls], np.int32))
+        offs = jnp.asarray(np.concatenate(
+            [[0], np.cumsum([s.n_windows for s in smls])[:-1]]
+        ).astype(np.int32))
+        return _fused_pair_pipeline(
+            seed_len, chunk, pb, extend_capacity, repeat_limit,
+            keys_posorder, smls[0].keys, smls[1].keys, offs, cnts)
     if capacity is None:
         # every surviving run holds >=2 occurrences (ngids >= 2), so
         # candidate rows are bounded by half the table
