@@ -56,19 +56,23 @@ def compute_gc(genomes: list[Genome]) -> float:
     return gc / max(total, 1)
 
 
-def detect_backbone(ivs: IntervalList,
-                    params: HmmParams | None = None,
-                    min_bb_length: int = 0) -> list[BackboneSegment]:
-    """Per-interval pairwise HMM homology → transitive merge →
-    backbone segments (detectAndApplyBackbone minus interval rewriting).
-    """
+def _interval_participation(ivs: IntervalList, params: HmmParams | None
+                            ) -> tuple[list[np.ndarray],
+                                       dict[int, np.ndarray]]:
+    """Batched per-interval pairwise HMM homology -> per-column
+    participation masks (makeAllPairwiseGenomeHSS +
+    mergePairwiseHomologyPredictions, Backbone.cpp:315,465: a genome
+    participates in a column iff it is HMM-homologous to >=1 partner
+    there; ULA boundaries fall where any participation bit changes —
+    the column-mask union is the partition-refinement the reference's
+    applyBreakpoints loop computes with ULA lists).
+
+    Returns (rendered rows per interval, {ivI: bool[G, C]})."""
     genomes = ivs.genomes
     G = len(genomes)
     if params is None:
         params = adapted_hoxd_params(compute_gc(genomes))
 
-    segments: list[BackboneSegment] = []
-    # batch all pairwise jobs of all intervals into one HMM dispatch set
     jobs = []
     job_meta = []
     rendered = []
@@ -85,7 +89,6 @@ def detect_backbone(ivs: IntervalList,
                 job_meta.append(ivI)
     all_hss = find_hss_homology_batch(jobs, params)
 
-    # per interval: participation[g, c] = homologous to >=1 partner
     per_iv_part: dict[int, np.ndarray] = {}
     for hss_list, ivI in zip(all_hss, job_meta):
         rows = rendered[ivI]
@@ -94,6 +97,19 @@ def detect_backbone(ivs: IntervalList,
         for h in hss_list:
             part[h.seqI, h.left_col:h.right_col + 1] = True
             part[h.seqJ, h.left_col:h.right_col + 1] = True
+    return rendered, per_iv_part
+
+
+def detect_backbone(ivs: IntervalList,
+                    params: HmmParams | None = None,
+                    min_bb_length: int = 0) -> list[BackboneSegment]:
+    """Per-interval pairwise HMM homology → transitive merge →
+    backbone segments (detectAndApplyBackbone minus interval rewriting).
+    """
+    genomes = ivs.genomes
+    G = len(genomes)
+    segments: list[BackboneSegment] = []
+    rendered, per_iv_part = _interval_participation(ivs, params)
 
     for ivI, part in sorted(per_iv_part.items()):
         iv = ivs.intervals[ivI]
@@ -147,6 +163,142 @@ def _segment_seq_ranges(iv, rows, lo: int, hi: int,
             left = right - chars_in + 1
             out[g] = (-left, -right)
     return out
+
+
+def _row_block_coords(iv, rows, lo: int, hi: int,
+                      members: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of a column range's member rows (signed)."""
+    G = rows.shape[0]
+    starts = np.zeros(G, dtype=np.int64)
+    lengths = np.zeros(G, dtype=np.int64)
+    ranges = _segment_seq_ranges(iv, rows, lo, hi, members)
+    for g in members:
+        l, r = int(ranges[g, 0]), int(ranges[g, 1])
+        if l == 0 and r == 0:
+            continue
+        if l > 0:
+            starts[g] = l
+            lengths[g] = r - l + 1
+        else:
+            # reverse row: ranges are (-left, -right) with left <= right
+            starts[g] = l
+            lengths[g] = l - r + 1
+    return starts, lengths
+
+
+def apply_backbone(ivs: IntervalList,
+                   params: HmmParams | None = None,
+                   min_bb_length: int = 0
+                   ) -> tuple[IntervalList, list[BackboneSegment]]:
+    """detectAndApplyBackbone with interval rewriting (Backbone.h:65-71,
+    unalignIslands Backbone.cpp:672-824): island characters — columns
+    where a genome is homologous to NO partner — are pulled out of the
+    shared columns into their own single-genome staircase blocks, so the
+    written XMFA no longer claims alignment for non-homologous rows.
+    Genome groups left with no shared blocks split into separate
+    intervals (the reference's union-find + topological re-sort).
+
+    Returns (rewritten IntervalList, backbone segments in rewritten
+    column coordinates)."""
+    from libmems_tpu.interval import Block, Interval
+
+    genomes = ivs.genomes
+    G = len(genomes)
+    rendered, per_iv_part = _interval_participation(ivs, params)
+
+    new_intervals: list = []
+    segments: list[BackboneSegment] = []
+    for ivI, iv in enumerate(ivs.intervals):
+        if ivI not in per_iv_part:
+            new_intervals.append(iv)
+            continue
+        rows = rendered[ivI]
+        part = per_iv_part[ivI] & (rows != GAP)
+        C = part.shape[1]
+        counts = part.sum(axis=0)
+        # drop single-genome "participation" (no partner in the column)
+        part[:, counts < 2] = False
+
+        change = np.ones(C, dtype=bool)
+        change[1:] = (part[:, 1:] != part[:, :-1]).any(axis=0)
+        run_starts = np.flatnonzero(change)
+        run_ends = np.concatenate([run_starts[1:] - 1, [C - 1]])
+
+        blocks: list[tuple[Block, list[int]]] = []  # (block, members)
+        seg_plans: list[tuple[int, list[int], np.ndarray]] = []
+        nongap = rows != GAP
+        for lo, hi in zip(run_starts, run_ends):
+            lo, hi = int(lo), int(hi)
+            members = np.flatnonzero(part[:, lo])
+            islanders = np.flatnonzero(nongap[:, lo:hi + 1].any(axis=1)
+                                       & ~part[:, lo])
+            if members.size >= 2:
+                # aligned sub-block: member rows keep their columns
+                sub = rows[:, lo:hi + 1].copy()
+                sub[[g for g in range(G) if g not in set(members)]] = GAP
+                keep_cols = (sub != GAP).any(axis=0)
+                sub = sub[:, keep_cols]
+                if sub.shape[1]:
+                    starts, lens = _row_block_coords(iv, rows, lo, hi,
+                                                     members)
+                    blocks.append((Block(starts=starts, lengths=lens,
+                                         rows=sub),
+                                   [int(g) for g in members]))
+                    if hi - lo + 1 >= min_bb_length:
+                        seg_plans.append(
+                            (len(blocks) - 1, [int(g) for g in members],
+                             _segment_seq_ranges(iv, rows, lo, hi,
+                                                 members)))
+            # island rows: one single-genome staircase block each
+            for g in islanders:
+                starts, lens = _row_block_coords(iv, rows, lo, hi,
+                                                 np.array([g]))
+                if lens[g] == 0:
+                    continue
+                blocks.append((Block(starts=starts, lengths=lens,
+                                     rows=None), [int(g)]))
+
+        if not blocks:
+            new_intervals.append(iv)
+            continue
+
+        # union-find split into disjoint genome groups
+        parent = list(range(G))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for _, mem in blocks:
+            for g in mem[1:]:
+                parent[find(g)] = find(mem[0])
+        group_of: dict[int, list[int]] = {}
+        for bi, (_, mem) in enumerate(blocks):
+            group_of.setdefault(find(mem[0]), []).append(bi)
+
+        base = len(new_intervals)
+        roots = sorted(group_of)
+        for gi, root in enumerate(roots):
+            sel = group_of[root]
+            col_off = 0
+            seg_lookup = {}
+            for order, bi in enumerate(sel):
+                blk = blocks[bi][0]
+                seg_lookup[bi] = col_off
+                col_off += blk.n_columns
+            new_intervals.append(Interval(
+                blocks=[blocks[bi][0] for bi in sel], seq_count=G))
+            for bi, mem, ranges in seg_plans:
+                if bi in seg_lookup:
+                    lo = seg_lookup[bi]
+                    ncols = blocks[bi][0].n_columns
+                    segments.append(BackboneSegment(
+                        interval=base + gi, left_col=lo,
+                        right_col=lo + ncols - 1, genomes=mem,
+                        seq_ranges=ranges))
+    return IntervalList(new_intervals, list(genomes)), segments
 
 
 # --------------------------------------------------------------------------

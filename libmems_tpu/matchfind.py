@@ -459,31 +459,43 @@ def pair_fast_path_ok(smls) -> bool:
     return 2 * smls[0].seed_weight + 3 + pb <= 64 and pb <= 30
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
                          extend_capacity: int, repeat_limit: int,
+                         presorted: bool,
                          keys_posorder, keys_a, keys_b,
                          gen_off, gen_cnt):
-    """G=2 unique-MUM pipeline: one sort + neighbor flags + one cluster
-    sort + top_k compaction + span-seeded extension.  Static shapes.
+    """G=2 unique-MUM pipeline: one sort (or bitonic merge of pre-sorted
+    per-genome words) + neighbor flags + one cluster sort + binary-search
+    compaction + span-seeded extension.  Static shapes.
 
-    Returns (starts int32[EC, 2], lengths, valid, n_rows, n_reps) with the
-    same contract as _fused_mum_pipeline.
+    With presorted=True, keys_a/keys_b are pre-sorted per-genome word
+    arrays (gid bit clear) merged by a bitonic merge network — measured
+    SLOWER than lax.sort on v5e (XLA materializes every merge stage; see
+    PERF.md), so production callers pass presorted=False; the flag is
+    kept for kernel experiments.  Returns (starts int32[EC, 2], lengths,
+    valid, n_rows, n_reps) with the same contract as _fused_mum_pipeline.
     """
     EC = extend_capacity
     pb = pos_bits
     u = jnp.uint64
 
-    def pack(keys, gid):
-        content = (keys >> 1).astype(u)
-        strand = (keys & 1).astype(u)
-        n = keys.shape[0]
-        pos = jnp.arange(n, dtype=jnp.uint32).astype(u)
-        return (content << u(pb + 2)) | (u(gid) << u(pb + 1)) \
-            | (pos << u(1)) | strand
+    if presorted:
+        from libmems_tpu.ops.merge import bitonic_merge
+        wb = keys_b | (u(1) << u(pb + 1))
+        w = bitonic_merge(keys_a, wb,
+                          keys_a.shape[0] + keys_b.shape[0])
+    else:
+        def pack(keys, gid):
+            content = (keys >> 1).astype(u)
+            strand = (keys & 1).astype(u)
+            n = keys.shape[0]
+            pos = jnp.arange(n, dtype=jnp.uint32).astype(u)
+            return (content << u(pb + 2)) | (u(gid) << u(pb + 1)) \
+                | (pos << u(1)) | strand
 
-    w = jnp.concatenate([pack(keys_a, 0), pack(keys_b, 1)])
-    w = jax.lax.sort(w)
+        w = jnp.concatenate([pack(keys_a, 0), pack(keys_b, 1)])
+        w = jax.lax.sort(w)
 
     c = w >> u(pb + 2)
     gid = ((w >> u(pb + 1)) & u(1)).astype(jnp.uint32)
@@ -526,43 +538,33 @@ def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
     n_cands = jnp.sum(surv.astype(jnp.int32))
     n_reps = jnp.sum(rep.astype(jnp.int32))
 
-    # per-row cluster extent (posA of the cluster's LAST member) via a
-    # reversed segmented cummax: cluster ids ascend, so on the flipped
-    # array (max_id - cluster_id) ascends and a plain cummax of
-    # (segment << 32 | posA) resets at each cluster boundary.  The extent
-    # seeds the extension length so the extension kernel probes only the
-    # unexplored tails of each match instead of re-walking the known
-    # chain of seeds.
-    cluster_id = jnp.cumsum(rep.astype(jnp.int64)) - 1
-    seg_rev = (cluster_id[-1] - cluster_id)[::-1]
-    # invalid rows trail the last cluster: zero their posA so they never
-    # inflate its extent
-    posA_ext = jnp.where(valid_c, s_posA, 0)
-    packed_rev = (seg_rev << 32) | posA_ext[::-1].astype(jnp.int64)
-    last_posA = (jax.lax.cummax(packed_rev)[::-1]
-                 & 0xFFFFFFFF).astype(jnp.int32)
-    sb = max(0, 60 - 2 * pb)  # span bits left under (1 | cw) in 64
-    sb = min(sb, 13)
-    span_c = jnp.clip(last_posA - s_posA, 0, (1 << sb) - 1)
-
-    # compact reps to the front with ONE single-word sort: non-reps get
-    # the top bit -> sort to the back; the capped span rides in the low
-    # 13 bits (a short span only means extension starts probing earlier
-    # along the chain — never incorrect).  top_k is NOT used here: it
-    # costs as much as a full sort at this scale and its first
-    # compilation takes minutes (see PERF.md).
-    word3 = ((~rep).astype(u) << u(63)) | (cw << u(sb)) \
-        | span_c.astype(u)
-    word3 = jax.lax.sort(word3)[:EC]
-    e_valid = (word3 >> u(63)) == 0
-    e_valid = e_valid & (jnp.arange(EC) < n_reps)
-    rep_cw = (word3 >> u(sb)) & u((1 << (2 * pb + 3)) - 1)
+    # compact reps to EC slots WITHOUT a third sort: rep ranks are a
+    # monotone map (cumsum), so its inverse — the row of the j-th rep —
+    # is a binary search over the rank array (24 tiny gather rounds for
+    # EC queries), and all representative fields are then EC-sized
+    # gathers.  This replaces both a full compaction sort and the
+    # segmented span scans (scatter and top_k alternatives are ruled
+    # out in PERF.md).
+    rank = jnp.cumsum(rep.astype(jnp.int32))
+    src = jnp.searchsorted(rank, jnp.arange(1, EC + 1, dtype=jnp.int32),
+                           side="left", method="scan_unrolled")
+    e_valid = jnp.arange(EC) < n_reps
+    src = jnp.minimum(src, cw.shape[0] - 1)
+    rep_cw = cw[src]
     r_posA = (rep_cw & u((1 << pb) - 1)).astype(jnp.int32)
     r_delta = ((rep_cw >> u(pb)) & u((1 << (pb + 2)) - 1)).astype(jnp.int32)
     r_fwd = ((rep_cw >> u(2 * pb + 2)) & u(1)) == 1
-    span = (word3 & u((1 << sb) - 1)).astype(jnp.int32) if sb else \
-        jnp.zeros((EC,), jnp.int32)
-    last_posA = r_posA + span
+
+    # cluster extent: the cluster's last member is the row before the
+    # next rep (or the last valid candidate row) — seeds the extension
+    # length so the kernel probes only the unexplored tails
+    next_src = jnp.concatenate([src[1:], jnp.full((1,), cw.shape[0],
+                                                  jnp.int32)])
+    end_row = jnp.minimum(next_src, n_cands) - 1
+    end_row = jnp.clip(end_row, 0, cw.shape[0] - 1)
+    last_posA = (cw[end_row] & u((1 << pb) - 1)).astype(jnp.int32)
+    last_posA = jnp.clip(last_posA, r_posA, None)
+    span = last_posA - r_posA
 
     lengths0 = jnp.where(e_valid, span + seed_len, seed_len)
     # genome-B left end of the cluster-covering match
@@ -617,7 +619,6 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
         chunk = max(seed_len, 128)
     total = sum(s.n_windows for s in smls)
     if pair_fast_path_ok(smls):
-        pb = _pair_pos_bits(max(s.n_windows for s in smls))
         extend_capacity = min(extend_capacity,
                               1 << max((total - 1).bit_length() - 1, 1))
         keys_posorder = jnp.concatenate([s.keys for s in smls])
@@ -625,8 +626,9 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
         offs = jnp.asarray(np.concatenate(
             [[0], np.cumsum([s.n_windows for s in smls])[:-1]]
         ).astype(np.int32))
+        pb = _pair_pos_bits(max(s.n_windows for s in smls))
         return _fused_pair_pipeline(
-            seed_len, chunk, pb, extend_capacity, repeat_limit,
+            seed_len, chunk, pb, extend_capacity, repeat_limit, False,
             keys_posorder, smls[0].keys, smls[1].keys, offs, cnts)
     if capacity is None:
         # every surviving run holds >=2 occurrences (ngids >= 2), so

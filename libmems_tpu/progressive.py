@@ -50,6 +50,8 @@ from libmems_tpu.cga import CompactAlignment, merge_with_gap_masks
 from libmems_tpu.distance import single_copy_distance
 from libmems_tpu.gbe import SimpleBreakpointScorer, \
     greedy_breakpoint_elimination, surviving_members
+from libmems_tpu.gbe_sp import (SumOfPairsBreakpointScorer, greedy_search,
+                                scaled_breakpoint_penalties)
 from libmems_tpu.interval import Block, Interval, IntervalList
 from libmems_tpu.lcb import compute_adjacencies, compute_lcbs, \
     eliminate_overlaps, identify_breakpoints
@@ -72,6 +74,9 @@ def default_breakpoint_penalty(seq_lengths: list[int]) -> float:
     return math.log2(avg) * 7000.0
 
 
+MIN_BREAKPOINT_PENALTY = 4000.0  # ProgressiveAligner.cpp:138
+
+
 @dataclass
 class ProgressiveConfig:
     seed: int | None = None
@@ -80,6 +85,11 @@ class ProgressiveConfig:
     max_gapped_window: int = MAX_ALIGNMENT_LENGTH
     refine: bool = True                       # windowed refinement pass
     min_anchor_score: float = 0.0
+    gap_search: bool = True          # recurseOnPairs gap re-anchoring
+    max_anchor_rounds: int = 3       # anchoring convergence iterations
+    seed_families: int = 1           # seeds per weight in gap search
+    min_gap_search: int = 24         # smallest gap window re-searched
+    use_bp_distance: bool = True     # scale penalties by BP distance
 
 
 @dataclass
@@ -297,18 +307,10 @@ def _trim_anchor(aln1: NodeAlignment, aln2: NodeAlignment, a: Anchor,
 # LCB selection over anchors (column space)
 # --------------------------------------------------------------------------
 
-def _anchor_lcbs(anchors: list[Anchor], bp_penalty: float
-                 ) -> list[list[Anchor]]:
-    """Breakpoint analysis + scored greedy elimination over the anchor
-    set; returns surviving LCBs as ordered anchor lists."""
-    if not anchors:
-        return []
-    n = len(anchors)
-    # synthetic pairwise coordinate space: blocks laid out end to end
+def _block_offsets(anchors: list[Anchor]) -> tuple[dict, dict]:
+    """Synthetic pairwise coordinate space: blocks laid out end to end."""
     off1: dict[int, int] = {}
     off2: dict[int, int] = {}
-    starts = np.zeros((n, 2), dtype=np.int64)
-    lens = np.zeros(n, dtype=np.int64)
     cur1 = cur2 = 1
     for a in anchors:
         if a.b1 not in off1:
@@ -317,27 +319,72 @@ def _anchor_lcbs(anchors: list[Anchor], bp_penalty: float
         if a.b2 not in off2:
             off2[a.b2] = cur2
             cur2 += 1 << 40
+    return off1, off2
+
+
+def _collapsed_matcharray(anchors: list[Anchor]) -> MatchArray:
+    """2-column synthetic-coordinate view of the anchors (node columns),
+    used for breakpoint partitioning (createAncestralOrdering analog)."""
+    n = len(anchors)
+    off1, off2 = _block_offsets(anchors)
+    starts = np.zeros((n, 2), dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
     for i, a in enumerate(anchors):
         starts[i, 0] = off1[a.b1] + a.c1_lo
         c2 = off2[a.b2] + a.c2_lo
         starts[i, 1] = c2 if a.forward else -c2
         lens[i] = a.c1_hi - a.c1_lo + 1
-    ma = MatchArray(starts, lens)
-    scores = np.array([a.score for a in anchors])
+    return MatchArray(starts, lens)
+
+
+def _select_anchors_sp(anchors: list[Anchor], aln1: NodeAlignment,
+                       aln2: NodeAlignment, penalties: np.ndarray
+                       ) -> tuple[list[Anchor], float]:
+    """Scored sum-of-pairs greedy breakpoint elimination over the anchor
+    set (EvenFasterSumOfPairsBreakpointScorer + greedySearch,
+    GBE.h:478-582/761-860): anchors become tracking matches in a
+    (side-1 leaves + side-2 leaves) coordinate table, each pairwise LCB
+    decomposition is scored independently, and low-scoring LCBs are
+    removed globally.  Returns (surviving anchors, anchoring score)."""
+    if not anchors:
+        return [], 0.0
+    G1, G2 = len(aln1.leaf_ids), len(aln2.leaf_ids)
+    pairs = [(i, G1 + j) for i in range(G1) for j in range(G2)]
+    pair_index = {p: k for k, p in enumerate(pairs)}
+    n = len(anchors)
+    off1, off2 = _block_offsets(anchors)
+    starts = np.zeros((n, G1 + G2), dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    tm = np.zeros((n, len(pairs)), dtype=np.float64)
+    for i, a in enumerate(anchors):
+        r1, r2 = aln1.row_of(a.g1), aln2.row_of(a.g2)
+        starts[i, r1] = off1[a.b1] + a.c1_lo
+        c2 = off2[a.b2] + a.c2_lo
+        starts[i, G1 + r2] = c2 if a.forward else -c2
+        lens[i] = a.c1_hi - a.c1_lo + 1
+        tm[i, pair_index[(r1, G1 + r2)]] = a.score
+    scorer = SumOfPairsBreakpointScorer(MatchArray(starts, lens), tm,
+                                        pairs, penalties)
+    score = greedy_search(scorer)
+    keep = scorer.results()
+    return [anchors[i] for i in keep], float(score)
+
+
+def _group_anchors(anchors: list[Anchor]) -> list[list[Anchor]]:
+    """Partition surviving anchors into parent blocks: collapsed
+    breakpoint analysis, then split where a child block changes on
+    either side (a child block boundary is a descendant breakpoint and
+    cannot be crossed by one parent block —
+    propagateDescendantBreakpoints analog, PA.cpp:236)."""
+    if not anchors:
+        return []
+    ma = _collapsed_matcharray(anchors)
     order, bps = identify_breakpoints(ma)
     members = compute_lcbs(ma, order, bps)
-    weights = np.array([scores[idx].sum() for idx in members])
-    lcbs = compute_adjacencies(ma, members, weights)
-    scorer = SimpleBreakpointScorer(lcbs, bp_penalty)
-    greedy_breakpoint_elimination(lcbs, scorer)
     out = []
-    for idx in surviving_members(lcbs):
+    for idx in members:
         group = [anchors[i] for i in idx]
         group.sort(key=lambda a: (a.b1, a.c1_lo))
-        # split where the child block changes on either side — a child
-        # block boundary is a descendant breakpoint and cannot be
-        # crossed by one parent block (propagateDescendantBreakpoints
-        # analog, PA.cpp:236)
         cur: list[Anchor] = []
         for a in group:
             if cur and (a.b1 != cur[-1].b1 or a.b2 != cur[-1].b2):
@@ -347,6 +394,28 @@ def _anchor_lcbs(anchors: list[Anchor], bp_penalty: float
         if cur:
             out.append(cur)
     return out
+
+
+def _pair_penalties(aln1: NodeAlignment, aln2: NodeAlignment,
+                    bp_penalty: float,
+                    bp_weights: np.ndarray | None,
+                    cons_weights: np.ndarray | None) -> np.ndarray:
+    """Per-leaf-pair scaled breakpoint penalties
+    (max(bp·(1−cons)⁴·(1−bp_dist)², 4000), GBE.cpp:408-421) from the
+    genome-level BP-distance / conservation-distance matrices."""
+    G1, G2 = len(aln1.leaf_ids), len(aln2.leaf_ids)
+    pen = np.empty(G1 * G2, dtype=np.float64)
+    k = 0
+    for i in range(G1):
+        for j in range(G2):
+            gi, gj = aln1.leaf_ids[i], aln2.leaf_ids[j]
+            bw = 0.0 if bp_weights is None else float(bp_weights[gi, gj])
+            cw = 0.0 if cons_weights is None else float(cons_weights[gi, gj])
+            pen[k] = scaled_breakpoint_penalties(
+                bp_penalty, MIN_BREAKPOINT_PENALTY,
+                np.array([bw]), np.array([cw]))[0]
+            k += 1
+    return pen
 
 
 # --------------------------------------------------------------------------
@@ -470,15 +539,124 @@ def _merge_lcb(aln1: NodeAlignment, aln2: NodeAlignment,
         prev = a
 
 
+def _recurse_on_pairs(lcb_groups: list[list[Anchor]], aln1: NodeAlignment,
+                      aln2: NodeAlignment, genomes: list[Genome],
+                      seed: int, codes, sols, min_gap: int,
+                      seed_families: int
+                      ) -> tuple[MatchArray | None, np.ndarray | None]:
+    """Re-anchor the inter-anchor gaps of every LCB per extant leaf
+    pair with smaller seeds (recurseOnPairs / pairwiseAnchorSearch,
+    ProgressiveAligner.cpp:680-923, 589-678).  Returns new leaf-pair
+    matches in global coordinates with their anchor scores."""
+    from libmems_tpu.anchorscore import pairwise_anchor_scores
+    from libmems_tpu.recursion import search_gap
+
+    from libmems_tpu import seeds as seedlib
+
+    G = len(genomes)
+    node_weight = seedlib.seed_weight(seed)
+
+    parts: list[MatchArray] = []
+    part_scores: list[np.ndarray] = []
+    for group in lcb_groups:
+        fwd = group[0].forward
+        blk1 = aln1.blocks[group[0].b1]
+        blk2 = aln2.blocks[group[0].b2]
+        prev = None
+        for a in group:
+            if prev is None:
+                prev = a
+                continue
+            w1_lo, w1_hi = prev.c1_hi + 1, a.c1_lo - 1
+            if fwd:
+                w2_lo, w2_hi = prev.c2_hi + 1, a.c2_lo - 1
+            else:
+                w2_lo, w2_hi = a.c2_hi + 1, prev.c2_lo - 1
+            prev = a
+            if w1_hi < w1_lo or w2_hi < w2_lo:
+                continue
+            s1 = blk1.slice_columns(w1_lo, w1_hi + 1)
+            s2 = blk2.slice_columns(w2_lo, w2_hi + 1)
+            l1, l2 = s1.lengths(), s2.lengths()
+            if max(l1.max(initial=0), l2.max(initial=0)) < min_gap:
+                continue
+            for r1 in range(len(aln1.leaf_ids)):
+                for r2 in range(len(aln2.leaf_ids)):
+                    if l1[r1] < min_gap or l2[r2] < min_gap:
+                        continue
+                    g1 = aln1.leaf_ids[r1]
+                    g2 = aln2.leaf_ids[r2]
+                    mean_len = (int(l1[r1]) + int(l2[r2])) // 2
+                    w = min(seedlib.default_seed_weight(mean_len),
+                            node_weight)
+                    if w < 5:
+                        continue
+                    gap_seed = seedlib.get_seed(w, 0)
+                    gs = np.zeros(G, dtype=np.int64)
+                    gl = np.zeros(G, dtype=np.int64)
+                    gs[g1] = int(s1.starts[r1])
+                    gl[g1] = int(l1[r1])
+                    gs[g2] = int(s2.starts[r2])
+                    gl[g2] = int(l2[r2])
+                    found = search_gap(genomes, gs, gl, gap_seed,
+                                       seed_families=seed_families)
+                    if len(found) == 0:
+                        continue
+                    if codes is not None and sols is not None:
+                        sc = pairwise_anchor_scores(found, g1, g2,
+                                                    codes, sols)
+                    else:
+                        sc = 2.0 * found.lengths.astype(np.float64)
+                    parts.append(found)
+                    part_scores.append(np.asarray(sc, dtype=np.float64))
+    if not parts:
+        return None, None
+    ma = MatchArray(np.concatenate([p.starts for p in parts]),
+                    np.concatenate([p.lengths for p in parts]))
+    return ma, np.concatenate(part_scores)
+
+
 def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
                 matches: MatchArray, scores: np.ndarray,
                 genomes: list[Genome], bp_penalty: float,
-                max_window: int = MAX_ALIGNMENT_LENGTH) -> NodeAlignment:
+                max_window: int = MAX_ALIGNMENT_LENGTH, *,
+                codes=None, sols=None, seed: int | None = None,
+                bp_weights: np.ndarray | None = None,
+                cons_weights: np.ndarray | None = None,
+                gap_search: bool = False, max_anchor_rounds: int = 3,
+                seed_families: int = 1,
+                min_gap_search: int = 24) -> NodeAlignment:
     """Align two node alignments into their parent (alignNodes /
-    alignProfileToProfile analog)."""
+    alignProfileToProfile analog, PA.cpp:2030-2620): anchor selection by
+    scored sum-of-pairs GBE, then (optionally) the anchoring convergence
+    loop — per-pair gap re-search adds anchors and selection repeats
+    while the anchoring score improves by >0.5% (PA.cpp:2384)."""
     anchors = project_matches(matches, scores, aln1, aln2)
     anchors = _prune_column_conflicts(aln1, aln2, anchors)
-    lcb_groups = _anchor_lcbs(anchors, bp_penalty)
+    penalties = _pair_penalties(aln1, aln2, bp_penalty,
+                                bp_weights, cons_weights)
+    sel, score = _select_anchors_sp(anchors, aln1, aln2, penalties)
+    lcb_groups = _group_anchors(sel)
+    if gap_search and seed is not None:
+        for _ in range(max(0, max_anchor_rounds - 1)):
+            new_ma, new_sc = _recurse_on_pairs(
+                lcb_groups, aln1, aln2, genomes, seed, codes, sols,
+                min_gap_search, seed_families)
+            if new_ma is None:
+                break
+            new_anchors = project_matches(new_ma, new_sc, aln1, aln2)
+            if not new_anchors:
+                break
+            combined = _prune_column_conflicts(aln1, aln2,
+                                               sel + new_anchors)
+            sel2, score2 = _select_anchors_sp(combined, aln1, aln2,
+                                              penalties)
+            # stop unless the anchoring score improved by >= 0.5%
+            # (ProgressiveAligner.cpp:2384)
+            if score2 <= score + abs(score) / 200.0:
+                break
+            sel, score = sel2, score2
+            lcb_groups = _group_anchors(sel)
 
     leaf_ids = aln1.leaf_ids + aln2.leaf_ids
     G1, G2 = len(aln1.leaf_ids), len(aln2.leaf_ids)
@@ -623,6 +801,16 @@ def progressive_align(genomes: list[Genome],
     if bp_penalty is None:
         bp_penalty = default_breakpoint_penalty(seq_lengths)
 
+    # breakpoint-distance matrix scales per-leaf-pair penalties in the
+    # sum-of-pairs scorer (CreatePairwiseBPDistance -> bp_dist_mat,
+    # PA.cpp:3372-3467, 2178-2244)
+    bp_weights = None
+    if cfg.use_bp_distance and G > 2:
+        from libmems_tpu.distance import breakpoint_distance_matrix
+        with trace.stage("bp_distance"):
+            bp_weights = breakpoint_distance_matrix(
+                matches, genomes, conservation=dist, occurrences=sols)
+
     node_aln: dict[int, NodeAlignment] = {}
     for leaf in tree.leaves():
         node_aln[id(leaf)] = leaf_alignment(leaf.sequence_id,
@@ -635,7 +823,14 @@ def progressive_align(genomes: list[Genome],
             for k in kids[1:]:
                 acc = align_nodes(acc, node_aln[id(k)], matches, scores,
                                   genomes, bp_penalty,
-                                  max_window=cfg.max_gapped_window)
+                                  max_window=cfg.max_gapped_window,
+                                  codes=codes, sols=sols, seed=seed,
+                                  bp_weights=bp_weights,
+                                  cons_weights=dist,
+                                  gap_search=cfg.gap_search,
+                                  max_anchor_rounds=cfg.max_anchor_rounds,
+                                  seed_families=cfg.seed_families,
+                                  min_gap_search=cfg.min_gap_search)
         node_aln[id(node)] = acc
         trace.progress("progressive", ni + 1, len(internals))
 
