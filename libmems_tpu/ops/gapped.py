@@ -9,8 +9,16 @@ extend -30 (libMems/SubstitutionMatrix.h:23-35).
 Design: one `lax.scan` over rows of the DP matrix; the within-row
 horizontal dependency of the gap matrix E is resolved with the max-plus
 prefix trick (E[j] = ext*j + cummax_{k<j}(G[k] + open - ext*k)), so each
-row is pure vector work over (batch, N) — no sequential inner loop.  A
-packed pointer byte per cell feeds a vectorized host traceback.
+row is pure vector work over (batch, N) — no sequential inner loop.
+
+Memory is bounded by ROW CHECKPOINTING instead of a full [B, M, N+1]
+pointer matrix: the forward pass stores the (H, F) carry every K rows
+(O(B·M/K·N)); the traceback walks blocks of K rows from the bottom,
+re-deriving each block's packed pointer bytes on device from its
+checkpoint (O(B·K·N) live) and stepping ALL pairs of the batch in
+lockstep with vectorized numpy (no per-cell Python inner loop per
+pair).  Results are bit-identical to the full-pointer formulation; a
+10k x 10k window costs ~7.5 MB/pair instead of ~100 MB.
 
 Alignment content differs from MUSCLE's (different algorithm); anchor
 coordinates and XMFA structure are unaffected — parity with the
@@ -45,36 +53,29 @@ E_EXT_BIT = 4
 F_EXT_BIT = 8
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _gotoh_forward(a: jax.Array, b: jax.Array, a_len: jax.Array,
-                   b_len: jax.Array, gap_open: int, gap_extend: int):
-    """Forward DP.  a: uint8[B, M], b: uint8[B, N] (2-bit codes, padded).
+CKPT_ROWS = 128   # forward-carry checkpoint spacing (traceback block)
 
-    Returns (score int32[B], pointers uint8[B, M, N+1]).
-    """
-    B, M = a.shape
+
+def _gotoh_row_fn(b, b_len, gap_open: int, gap_extend: int,
+                  emit_ptr: bool):
+    """Build the per-row scan body shared by the checkpointed forward
+    pass (emit_ptr=False: only the column-b_len score is emitted) and
+    the per-block pointer re-derivation (emit_ptr=True)."""
+    B = b.shape[0]
     N = b.shape[1]
     sub = jnp.asarray(HOXD70)
     oe = gap_open + gap_extend
     ext = gap_extend
-
     j_idx = jnp.arange(N + 1, dtype=jnp.int32)
-    h0 = jnp.where(j_idx == 0, 0, gap_open + ext * j_idx)
-    h0 = jnp.broadcast_to(h0, (B, N + 1)).astype(jnp.int32)
-    f0 = jnp.full((B, N + 1), NEG_INF, dtype=jnp.int32)
-
     b_scores = sub[:, b]                       # [4, B, N]
     ext_j = (ext * j_idx[1:]).astype(jnp.int32)  # [N]
 
     def row(carry, a_i):
         h_prev, f_prev = carry                 # [B, N+1]
-        # vertical gap matrix
         f_open = h_prev + oe
         f_ext = f_prev + ext
         f_row = jnp.maximum(f_open, f_ext)
-        f_ext_bit = (f_row == f_ext) & (f_prev > NEG_INF // 2)
 
-        # diagonal candidate
         s = jnp.take_along_axis(
             b_scores, a_i[None, :, None].astype(jnp.int32), axis=0)[0]
         diag = h_prev[:, :-1] + s              # [B, N]
@@ -91,77 +92,154 @@ def _gotoh_forward(a: jax.Array, b: jax.Array, a_len: jax.Array,
         h_row_1 = jnp.maximum(g, e_row)
         h_row = jnp.concatenate([g0, h_row_1], axis=1)
 
-        # pointers
+        if not emit_ptr:
+            h_at = jnp.take_along_axis(h_row, b_len[:, None], axis=1)[:, 0]
+            return (h_row, f_row), h_at
+
+        f_ext_bit = (f_row == f_ext) & (f_prev > NEG_INF // 2)
         e_ext_bit = jnp.concatenate([
             jnp.zeros((B, 1), bool),
             e_row[:, 1:] == e_row[:, :-1] + ext], axis=1)    # [B, N]
         h_src = jnp.where(
             h_row_1 == diag, H_DIAG,
             jnp.where(h_row_1 == e_row, H_E, H_F)).astype(jnp.uint8)
-        # prefer E over F on ties (arbitrary but fixed); diag wins ties
-        h_src = jnp.where((h_row_1 == diag), H_DIAG, h_src)
         ptr_j0 = jnp.full((B, 1), H_F, jnp.uint8) \
             | jnp.where(f_ext_bit[:, :1], F_EXT_BIT, 0).astype(jnp.uint8)
         ptr = (h_src
                | jnp.where(e_ext_bit, E_EXT_BIT, 0).astype(jnp.uint8)
                | jnp.where(f_ext_bit[:, 1:], F_EXT_BIT, 0).astype(jnp.uint8))
         ptr_row = jnp.concatenate([ptr_j0, ptr], axis=1)     # [B, N+1]
-        h_at_blen = jnp.take_along_axis(h_row, b_len[:, None], axis=1)[:, 0]
-        return (h_row, f_row), (ptr_row, h_at_blen)
+        return (h_row, f_row), ptr_row
 
-    (_, _), (ptrs, h_at) = jax.lax.scan(row, (h0, f0), a.T)
-    # ptrs: [M, B, N+1] -> [B, M, N+1]; h_at: [M, B]
-    ptrs = jnp.transpose(ptrs, (1, 0, 2))
+    return row
+
+
+def _gotoh_h0f0(B: int, N: int, gap_open: int, gap_extend: int):
+    j_idx = jnp.arange(N + 1, dtype=jnp.int32)
+    h0 = jnp.where(j_idx == 0, 0, gap_open + gap_extend * j_idx)
+    h0 = jnp.broadcast_to(h0, (B, N + 1)).astype(jnp.int32)
+    f0 = jnp.full((B, N + 1), NEG_INF, dtype=jnp.int32)
+    return h0, f0
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _gotoh_forward_ckpt(a, b, a_len, b_len, gap_open: int,
+                        gap_extend: int, K: int):
+    """Checkpointed forward DP.  a: uint8[B, M] with M a multiple of K.
+
+    Returns (score int32[B], ck_h, ck_f float32[nb, B, N+1]) where
+    ck_h/ck_f are the carries at the TOP of each K-row block."""
+    B, M = a.shape
+    N = b.shape[1]
+    nb = M // K
+    row = _gotoh_row_fn(b, b_len, gap_open, gap_extend, emit_ptr=False)
+    h0, f0 = _gotoh_h0f0(B, N, gap_open, gap_extend)
+
+    def block(carry, a_blk):
+        ck = carry
+        carry2, h_ats = jax.lax.scan(row, carry, a_blk)
+        return carry2, (ck[0], ck[1], h_ats)
+
+    a_blocks = a.T.reshape(nb, K, B)
+    _, (ck_h, ck_f, h_at) = jax.lax.scan(block, (h0, f0), a_blocks)
+    h_at = h_at.reshape(M, B)
     h0_at = jnp.take_along_axis(h0, b_len[:, None], axis=1)[:, 0]
     h_at = jnp.concatenate([h0_at[None], h_at], axis=0)      # rows 0..M
     score = jnp.take_along_axis(h_at, a_len[None, :], axis=0)[0]
-    return score, ptrs
+    return score, ck_h, ck_f
 
 
-def _traceback(ptrs: np.ndarray, a_len: np.ndarray, b_len: np.ndarray):
-    """Vectorized affine traceback.  Returns per-pair boolean gap masks
-    (a_gaps, b_gaps) as lists of bool arrays: True = gap column."""
-    B, M, _ = ptrs.shape
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _gotoh_block_ptrs(ck_h, ck_f, a_blk, b, b_len, gap_open: int,
+                      gap_extend: int):
+    """Re-derive one block's packed pointer rows from its checkpoint.
+    a_blk: uint8[B, K].  Returns uint8[B, K, N+1]."""
+    row = _gotoh_row_fn(b, b_len, gap_open, gap_extend, emit_ptr=True)
+    _, ptrs = jax.lax.scan(row, (ck_h, ck_f), a_blk.T)
+    return jnp.transpose(ptrs, (1, 0, 2))
+
+
+def traceback_blocks(fetch_block, nb: int, K: int, a_len: np.ndarray,
+                     b_len: np.ndarray):
+    """Batched affine traceback over checkpointed pointer blocks.
+
+    fetch_block(bi) must return uint8[B, K, N+1] pointer rows for global
+    rows bi*K+1 .. (bi+1)*K.  All pairs step in lockstep (vectorized
+    numpy over the batch); per-pair gap masks come back as lists of
+    (a_gaps, b_gaps) bool arrays, True = gap column.  Semantics are
+    identical to the scalar per-cell traceback of the full-pointer
+    formulation (state machine over H/E/F with extend bits)."""
+    B = len(a_len)
+    i = np.asarray(a_len, dtype=np.int64).copy()
+    j = np.asarray(b_len, dtype=np.int64).copy()
+    st = np.zeros(B, dtype=np.int64)
+    rec_step: list[np.ndarray] = []
+    rec_agap: list[np.ndarray] = []
+    rec_bgap: list[np.ndarray] = []
+    for bi in range(nb - 1, -1, -1):
+        lo = bi * K
+        boundary_ok = (i > 0) | (j > 0) if bi == 0 else np.zeros(B, bool)
+        if not (np.any(i > lo) or np.any(boundary_ok)):
+            continue
+        P = fetch_block(bi)
+        while True:
+            if bi == 0:
+                active = (i > 0) | (j > 0)
+            else:
+                active = i > lo
+            if not active.any():
+                break
+            a_gap = np.zeros(B, bool)
+            b_gap = np.zeros(B, bool)
+            step = np.zeros(B, bool)
+            c0 = active & (i == 0)                     # leading b columns
+            a_gap |= c0
+            j = np.where(c0, j - 1, j)
+            c1 = active & (i > 0) & (j == 0)           # leading a columns
+            b_gap |= c1
+            i = np.where(c1, i - 1, i)
+            c2 = active & (i > 0) & (j > 0)
+            step |= c0 | c1
+            if c2.any():
+                idx = np.flatnonzero(c2)
+                byte = np.zeros(B, np.int64)
+                byte[idx] = P[idx, i[idx] - lo - 1, j[idx]]
+                was_h = c2 & (st == 0)
+                was_e = c2 & (st == 1)
+                was_f = c2 & (st == 2)
+                newst = byte & 3
+                dm = was_h & (newst == 0)              # diagonal move
+                step |= dm
+                i = np.where(dm, i - 1, i)
+                j = np.where(dm, j - 1, j)
+                st = np.where(was_h, newst, st)        # enter E/F, no emit
+                # E: gap in a, consume b column
+                a_gap |= was_e
+                step |= was_e
+                j = np.where(was_e, j - 1, j)
+                st = np.where(was_e,
+                              np.where((byte & E_EXT_BIT) != 0, 1, 0), st)
+                # F: gap in b, consume a row
+                b_gap |= was_f
+                step |= was_f
+                i = np.where(was_f, i - 1, i)
+                st = np.where(was_f,
+                              np.where((byte & F_EXT_BIT) != 0, 2, 0), st)
+            rec_step.append(step)
+            rec_agap.append(a_gap)
+            rec_bgap.append(b_gap)
+    if rec_step:
+        steps = np.stack(rec_step)       # [T, B]
+        agaps = np.stack(rec_agap)
+        bgaps = np.stack(rec_bgap)
+    else:
+        steps = np.zeros((0, B), bool)
+        agaps = bgaps = steps
     out = []
     for k in range(B):
-        i, j = int(a_len[k]), int(b_len[k])
-        state = 0  # 0=H, 1=E, 2=F
-        acols: list[bool] = []   # True = gap in a
-        bcols: list[bool] = []   # True = gap in b
-        P = ptrs[k]
-        while i > 0 or j > 0:
-            if i == 0:
-                acols.append(True)
-                bcols.append(False)
-                j -= 1
-                continue
-            if j == 0:
-                acols.append(False)
-                bcols.append(True)
-                i -= 1
-                continue
-            byte = int(P[i - 1, j])
-            if state == 0:
-                state = byte & 3
-                if state == 0:
-                    acols.append(False)
-                    bcols.append(False)
-                    i -= 1
-                    j -= 1
-            elif state == 1:   # E: gap in a, consume b[j]
-                acols.append(True)
-                bcols.append(False)
-                nxt = 1 if (byte & E_EXT_BIT) else 0
-                j -= 1
-                state = nxt
-            else:              # F: gap in b, consume a[i]
-                acols.append(False)
-                bcols.append(True)
-                nxt = 2 if (byte & F_EXT_BIT) else 0
-                i -= 1
-                state = nxt
-        out.append((np.array(acols[::-1], dtype=bool),
-                    np.array(bcols[::-1], dtype=bool)))
+        sel = steps[:, k]
+        out.append((agaps[sel, k][::-1].copy(),
+                    bgaps[sel, k][::-1].copy()))
     return out
 
 
@@ -191,7 +269,9 @@ def align_pairs(pairs: list[tuple[np.ndarray, np.ndarray]],
 
     for (M, N), idxs in buckets.items():
         Bpad = _bucket(len(idxs), 8)
-        a_arr = np.zeros((Bpad, M), dtype=np.uint8)
+        K = min(CKPT_ROWS, M)
+        Mp = -(-M // K) * K
+        a_arr = np.zeros((Bpad, Mp), dtype=np.uint8)
         b_arr = np.zeros((Bpad, N), dtype=np.uint8)
         a_len = np.zeros(Bpad, dtype=np.int32)
         b_len = np.zeros(Bpad, dtype=np.int32)
@@ -200,10 +280,18 @@ def align_pairs(pairs: list[tuple[np.ndarray, np.ndarray]],
             a_arr[row, :len(a)] = a
             b_arr[row, :len(b)] = b
             a_len[row], b_len[row] = len(a), len(b)
-        score, ptrs = _gotoh_forward(
-            jnp.asarray(a_arr), jnp.asarray(b_arr), jnp.asarray(a_len),
-            jnp.asarray(b_len), gap_open, gap_extend)
-        tb = _traceback(np.asarray(ptrs), a_len, b_len)
+        aj = jnp.asarray(a_arr)
+        bj = jnp.asarray(b_arr)
+        blj = jnp.asarray(b_len)
+        score, ck_h, ck_f = _gotoh_forward_ckpt(
+            aj, bj, jnp.asarray(a_len), blj, gap_open, gap_extend, K)
+
+        def fetch(bi, aj=aj, bj=bj, blj=blj, ck_h=ck_h, ck_f=ck_f, K=K):
+            return np.asarray(_gotoh_block_ptrs(
+                ck_h[bi], ck_f[bi], aj[:, bi * K:(bi + 1) * K], bj, blj,
+                gap_open, gap_extend))
+
+        tb = traceback_blocks(fetch, Mp // K, K, a_len, b_len)
         for row, idx in enumerate(idxs):
             results[idx] = tb[row]
     return results
@@ -214,12 +302,14 @@ def align_score(a: np.ndarray, b: np.ndarray,
                 gap_extend: int = GAP_EXTEND) -> int:
     """Score-only global alignment of one pair (for tests)."""
     M, N = _bucket(len(a)), _bucket(len(b))
-    a_arr = np.zeros((1, M), np.uint8)
+    K = min(CKPT_ROWS, M)
+    Mp = -(-M // K) * K
+    a_arr = np.zeros((1, Mp), np.uint8)
     b_arr = np.zeros((1, N), np.uint8)
     a_arr[0, :len(a)] = a
     b_arr[0, :len(b)] = b
-    score, _ = _gotoh_forward(
+    score, _, _ = _gotoh_forward_ckpt(
         jnp.asarray(a_arr), jnp.asarray(b_arr),
         jnp.asarray(np.array([len(a)], np.int32)),
-        jnp.asarray(np.array([len(b)], np.int32)), gap_open, gap_extend)
+        jnp.asarray(np.array([len(b)], np.int32)), gap_open, gap_extend, K)
     return int(score[0])

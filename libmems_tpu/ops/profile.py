@@ -43,45 +43,22 @@ W5[:4, :4] = HOXD70.astype(np.float32)
 NEG_BIG = np.float32(-1e30)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def profile_gotoh_forward(p: jax.Array, q: jax.Array, p_len: jax.Array,
-                          q_len: jax.Array, gap_open: int, gap_extend: int):
-    """Forward profile DP.
+CKPT_ROWS = 128   # forward-carry checkpoint spacing (traceback block)
 
-    p: float32[B, M, 5], q: float32[B, N, 5] — column distributions
-    (rows beyond p_len/q_len are padding and must be all-zero).
-    Returns (score float32[B], pointers uint8[B, M, N+1]).
-    """
-    B, M, _ = p.shape
-    N = q.shape[1]
-    w = jnp.asarray(W5)
 
-    # occupancy (non-gap fraction) scales gap penalties: opening a gap
-    # against a mostly-gap column is nearly free (profile-SP standard).
-    # occupancy scaling: the extend cost of consuming a column is scaled
-    # by that column's non-gap fraction (extending through a mostly-gap
-    # region is cheap); the open cost stays unscaled.
-    p_occ = 1.0 - p[:, :, GAP_CODE]                 # [B, M]
-    q_occ = 1.0 - q[:, :, GAP_CODE]                 # [B, N]
-    ext_q = gap_extend * q_occ                      # gap in p consumes q col
-    ext_p = gap_extend * p_occ                      # gap in q consumes p col
-
-    qw = jnp.einsum("bnx,yx->bny", q, w)            # [B, N, 5]
-
-    j_idx = jnp.arange(N + 1, dtype=jnp.int32)
-    ext_cum = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(ext_q, axis=1)], axis=1)
-    h0 = jnp.where(j_idx[None, :] == 0, 0.0, gap_open + ext_cum)
-    f0 = jnp.full((B, N + 1), NEG_BIG, dtype=jnp.float32)
+def _profile_row_fn(qw, ext_q, ext_cum, q_len, gap_open, emit_ptr: bool):
+    """Per-row scan body shared by the checkpointed forward pass and the
+    per-block pointer re-derivation (see ops.gapped for the scheme)."""
+    B, N = ext_q.shape
 
     def row(carry, xs):
         h_prev, f_prev = carry                       # [B, N+1]
         p_i, ext_pi = xs                             # [B, 5], [B]
-        # vertical gap (gap in q, consume p row i)
+        # vertical gap (gap in q, consume p row i); occupancy scales the
+        # extend cost (profile-SP standard), the open cost is unscaled
         f_open = h_prev + gap_open + ext_pi[:, None]
         f_ext = f_prev + ext_pi[:, None]
         f_row = jnp.maximum(f_open, f_ext)
-        f_ext_bit = (f_row == f_ext) & (f_prev > NEG_BIG / 2)
 
         s = jnp.einsum("bx,bnx->bn", p_i, qw)        # [B, N]
         diag = h_prev[:, :-1] + s
@@ -96,6 +73,11 @@ def profile_gotoh_forward(p: jax.Array, q: jax.Array, p_len: jax.Array,
         h_row_1 = jnp.maximum(g, e_row)
         h_row = jnp.concatenate([g0, h_row_1], axis=1)
 
+        if not emit_ptr:
+            h_at = jnp.take_along_axis(h_row, q_len[:, None], axis=1)[:, 0]
+            return (h_row, f_row), h_at
+
+        f_ext_bit = (f_row == f_ext) & (f_prev > NEG_BIG / 2)
         e_ext_bit = jnp.concatenate([
             jnp.zeros((B, 1), bool),
             e_row[:, 1:] == e_row[:, :-1] + ext_q[:, 1:]], axis=1)
@@ -108,62 +90,61 @@ def profile_gotoh_forward(p: jax.Array, q: jax.Array, p_len: jax.Array,
                | jnp.where(e_ext_bit, E_EXT_BIT, 0).astype(jnp.uint8)
                | jnp.where(f_ext_bit[:, 1:], F_EXT_BIT, 0).astype(jnp.uint8))
         ptr_row = jnp.concatenate([ptr_j0, ptr], axis=1)
-        h_at = jnp.take_along_axis(h_row, q_len[:, None], axis=1)[:, 0]
-        return (h_row, f_row), (ptr_row, h_at)
+        return (h_row, f_row), ptr_row
 
-    xs = (jnp.transpose(p, (1, 0, 2)), ext_p.T)
-    (_, _), (ptrs, h_at) = jax.lax.scan(row, (h0, f0), xs)
-    ptrs = jnp.transpose(ptrs, (1, 0, 2))
+    return row
+
+
+def _profile_q_setup(q, gap_open, gap_extend):
+    B = q.shape[0]
+    w = jnp.asarray(W5)
+    q_occ = 1.0 - q[:, :, GAP_CODE]                 # [B, N]
+    ext_q = gap_extend * q_occ                      # gap in p consumes q col
+    qw = jnp.einsum("bnx,yx->bny", q, w)            # [B, N, 5]
+    j_idx = jnp.arange(q.shape[1] + 1, dtype=jnp.int32)
+    ext_cum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(ext_q, axis=1)], axis=1)
+    h0 = jnp.where(j_idx[None, :] == 0, 0.0, gap_open + ext_cum)
+    f0 = jnp.full((B, q.shape[1] + 1), NEG_BIG, dtype=jnp.float32)
+    return qw, ext_q, ext_cum, h0, f0
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def profile_forward_ckpt(p, q, p_len, q_len, gap_open: int,
+                         gap_extend: int, K: int):
+    """Checkpointed forward profile DP (M a multiple of K).  Returns
+    (score float32[B], ck_h, ck_f float32[nb, B, N+1])."""
+    B, M, _ = p.shape
+    nb = M // K
+    qw, ext_q, ext_cum, h0, f0 = _profile_q_setup(q, gap_open, gap_extend)
+    ext_p = gap_extend * (1.0 - p[:, :, GAP_CODE])  # gap in q consumes p
+    row = _profile_row_fn(qw, ext_q, ext_cum, q_len, gap_open, False)
+
+    def block(carry, xs):
+        ck = carry
+        carry2, h_ats = jax.lax.scan(row, carry, xs)
+        return carry2, (ck[0], ck[1], h_ats)
+
+    xs = (jnp.transpose(p, (1, 0, 2)).reshape(nb, K, B, 5),
+          ext_p.T.reshape(nb, K, B))
+    _, (ck_h, ck_f, h_at) = jax.lax.scan(block, (h0, f0), xs)
+    h_at = h_at.reshape(M, B)
     h0_at = jnp.take_along_axis(h0, q_len[:, None], axis=1)[:, 0]
     h_at = jnp.concatenate([h0_at[None], h_at], axis=0)
     score = jnp.take_along_axis(h_at, p_len[None, :], axis=0)[0]
-    return score, ptrs
+    return score, ck_h, ck_f
 
 
-def traceback_profiles(ptrs: np.ndarray, p_len: np.ndarray,
-                       q_len: np.ndarray):
-    """Per-pair (p_gaps, q_gaps) boolean gap-mask arrays over alignment
-    columns (True = that side takes a gap column)."""
-    B = ptrs.shape[0]
-    out = []
-    for k in range(B):
-        i, j = int(p_len[k]), int(q_len[k])
-        state = 0
-        pcols: list[bool] = []
-        qcols: list[bool] = []
-        P = ptrs[k]
-        while i > 0 or j > 0:
-            if i == 0:
-                pcols.append(True)
-                qcols.append(False)
-                j -= 1
-                continue
-            if j == 0:
-                pcols.append(False)
-                qcols.append(True)
-                i -= 1
-                continue
-            byte = int(P[i - 1, j])
-            if state == 0:
-                state = byte & 3
-                if state == 0:
-                    pcols.append(False)
-                    qcols.append(False)
-                    i -= 1
-                    j -= 1
-            elif state == 1:   # E: gap in p, consume q column
-                pcols.append(True)
-                qcols.append(False)
-                state = 1 if (byte & E_EXT_BIT) else 0
-                j -= 1
-            else:              # F: gap in q, consume p column
-                pcols.append(False)
-                qcols.append(True)
-                state = 2 if (byte & F_EXT_BIT) else 0
-                i -= 1
-        out.append((np.array(pcols[::-1], dtype=bool),
-                    np.array(qcols[::-1], dtype=bool)))
-    return out
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def profile_block_ptrs(ck_h, ck_f, p_blk, ext_p_blk, q, q_len,
+                       gap_open: int, gap_extend: int):
+    """Re-derive one block's pointer rows.  p_blk: float32[B, K, 5],
+    ext_p_blk: float32[B, K].  Returns uint8[B, K, N+1]."""
+    qw, ext_q, ext_cum, _, _ = _profile_q_setup(q, gap_open, gap_extend)
+    row = _profile_row_fn(qw, ext_q, ext_cum, q_len, gap_open, True)
+    xs = (jnp.transpose(p_blk, (1, 0, 2)), ext_p_blk.T)
+    _, ptrs = jax.lax.scan(row, (ck_h, ck_f), xs)
+    return jnp.transpose(ptrs, (1, 0, 2))
 
 
 def rows_to_profile(rows: np.ndarray) -> np.ndarray:
@@ -201,10 +182,14 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
         key = (bucket(p_rows[k].shape[1]), bucket(q_rows[k].shape[1]))
         buckets.setdefault(key, []).append(k)
 
+    from libmems_tpu.ops.gapped import traceback_blocks
+
     for (M, N), idxs in buckets.items():
-        nb = len(idxs)
-        nbp = bucket(nb, 4)
-        p = np.zeros((nbp, M, 5), dtype=np.float32)
+        nbi = len(idxs)
+        nbp = bucket(nbi, 4)
+        K = min(CKPT_ROWS, M)
+        Mp = -(-M // K) * K
+        p = np.zeros((nbp, Mp, 5), dtype=np.float32)
         q = np.zeros((nbp, N, 5), dtype=np.float32)
         p_len = np.zeros(nbp, dtype=np.int32)
         q_len = np.zeros(nbp, dtype=np.int32)
@@ -213,10 +198,21 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
             p[r, :cp] = rows_to_profile(p_rows[k])
             q[r, :cq] = rows_to_profile(q_rows[k])
             p_len[r], q_len[r] = cp, cq
-        _, ptrs = profile_gotoh_forward(
-            jnp.asarray(p), jnp.asarray(q), jnp.asarray(p_len),
-            jnp.asarray(q_len), gap_open, gap_extend)
-        tb = traceback_profiles(np.asarray(ptrs), p_len, q_len)
+        pj = jnp.asarray(p)
+        qj = jnp.asarray(q)
+        qlj = jnp.asarray(q_len)
+        _, ck_h, ck_f = profile_forward_ckpt(
+            pj, qj, jnp.asarray(p_len), qlj, gap_open, gap_extend, K)
+        ext_p = gap_extend * (1.0 - pj[:, :, GAP_CODE])
+
+        def fetch(bi, pj=pj, qj=qj, qlj=qlj, ck_h=ck_h, ck_f=ck_f,
+                  ext_p=ext_p, K=K):
+            return np.asarray(profile_block_ptrs(
+                ck_h[bi], ck_f[bi], pj[:, bi * K:(bi + 1) * K],
+                ext_p[:, bi * K:(bi + 1) * K], qj, qlj,
+                gap_open, gap_extend))
+
+        tb = traceback_blocks(fetch, Mp // K, K, p_len, q_len)
         for r, k in enumerate(idxs):
             p_gaps, q_gaps = tb[r]
             results[k] = merge_rows(p_rows[k], q_rows[k], p_gaps, q_gaps)

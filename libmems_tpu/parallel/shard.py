@@ -85,40 +85,8 @@ def sharded_seed_table(keys: jax.Array, gid: jax.Array, pos: jax.Array,
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
                    P(SHARD_AXIS)))
     def route(k, g, p):
-        T = k.shape[0]
-        content = k >> 1
-        strand = (k & 1).astype(jnp.int32)
-        bucket = _bucket_of(content, weight, n_dev)
-        bucket = jnp.where(k == sentinel, n_dev, bucket)  # padding last
-        # order local rows by destination bucket
-        bucket, k_s, g_s, p_s = jax.lax.sort(
-            (bucket, k, g, p), num_keys=1, is_stable=False)
-        # per-destination capacity C: static worst case is T (all rows to
-        # one bucket); build the [n_dev, C] send buffer by masking
-        C = T
-        idx_in_bucket = jnp.arange(T, dtype=jnp.int32) - seg.start_index(
-            seg.run_starts(bucket))
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_dev, C), 1)
-        send_k = jnp.full((n_dev, C), sentinel, dtype=k.dtype)
-        send_g = jnp.zeros((n_dev, C), dtype=g.dtype)
-        send_p = jnp.zeros((n_dev, C), dtype=p.dtype)
-        # padding rows get an out-of-range destination -> dropped
-        dst = jnp.where(bucket < n_dev, bucket, n_dev)
-        send_k = send_k.at[dst, idx_in_bucket].set(k_s, mode="drop")
-        send_g = send_g.at[dst, idx_in_bucket].set(g_s, mode="drop")
-        send_p = send_p.at[dst, idx_in_bucket].set(p_s, mode="drop")
-
-        recv_k = jax.lax.all_to_all(send_k, SHARD_AXIS, 0, 0, tiled=False)
-        recv_g = jax.lax.all_to_all(send_g, SHARD_AXIS, 0, 0, tiled=False)
-        recv_p = jax.lax.all_to_all(send_p, SHARD_AXIS, 0, 0, tiled=False)
-        rk = recv_k.reshape(-1)
-        rg = recv_g.reshape(-1)
-        rp = recv_p.reshape(-1)
-        rcontent = rk >> 1
-        rstrand = (rk & 1).astype(jnp.int32)
-        # shard-local sort by (content, gid, pos); sentinels sort last
-        rcontent, rg, rp, rstrand = jax.lax.sort(
-            (rcontent, rg, rp, rstrand), num_keys=3, is_stable=False)
+        (rcontent, rg, rp, rstrand), _ = _route_local(
+            k, g, p, weight, n_dev, sentinel, send_cap=k.shape[0])
         return (rcontent[None], rg[None], rp[None], rstrand[None])
 
     return route(keys, gid, pos)
@@ -158,23 +126,35 @@ def sharded_mum_seed_count(keys: jax.Array, gid: jax.Array, pos: jax.Array,
     return census(content, g, p)
 
 
-def _route_local(k, g, p, weight: int, n_dev: int, sentinel):
+def _route_local(k, g, p, weight: int, n_dev: int, sentinel,
+                 send_cap: int | None = None):
     """Shard-local body of the prefix routing: order rows by destination
     bucket, build the [n_dev, C] send buffers, all_to_all, then sort the
-    received rows by (content, gid, pos).  Returns flat local arrays."""
+    received rows by (content, gid, pos).
+
+    C defaults to 2x the balanced share T/n_dev (the mixed bucket
+    assignment is near-uniform), NOT T — the send buffer is therefore
+    O(local rows), not n_dev x local rows.  Rows beyond a destination's
+    capacity are dropped and counted; callers psum the returned drop
+    count and retry with a larger cap on overflow.
+
+    Returns ((content, gid, pos, strand) local sorted arrays, dropped)."""
     T = k.shape[0]
     content = k >> 1
     bucket = _bucket_of(content, weight, n_dev)
     bucket = jnp.where(k == sentinel, n_dev, bucket)
     bucket, k_s, g_s, p_s = jax.lax.sort(
         (bucket, k, g, p), num_keys=1, is_stable=False)
-    C = T
+    C = send_cap if send_cap is not None else max(
+        256, 2 * (T + n_dev - 1) // n_dev)
     idx_in_bucket = jnp.arange(T, dtype=jnp.int32) - seg.start_index(
         seg.run_starts(bucket))
     send_k = jnp.full((n_dev, C), sentinel, dtype=k.dtype)
     send_g = jnp.zeros((n_dev, C), dtype=g.dtype)
     send_p = jnp.zeros((n_dev, C), dtype=p.dtype)
-    dst = jnp.where(bucket < n_dev, bucket, n_dev)
+    over = (bucket < n_dev) & (idx_in_bucket >= C)
+    dropped = jnp.sum(over.astype(jnp.int32))
+    dst = jnp.where((bucket < n_dev) & ~over, bucket, n_dev)
     send_k = send_k.at[dst, idx_in_bucket].set(k_s, mode="drop")
     send_g = send_g.at[dst, idx_in_bucket].set(g_s, mode="drop")
     send_p = send_p.at[dst, idx_in_bucket].set(p_s, mode="drop")
@@ -187,7 +167,7 @@ def _route_local(k, g, p, weight: int, n_dev: int, sentinel):
     rcontent = rk >> 1
     rstrand = (rk & 1).astype(jnp.int32)
     return jax.lax.sort((rcontent, rg, rp, rstrand), num_keys=3,
-                        is_stable=False)
+                        is_stable=False), dropped
 
 
 def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
@@ -196,14 +176,18 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
     """Full seed-prefix-sharded multi-MUM discovery (milestone M7).
 
     The distributed twin of matchfind._fused_mum_pipeline: windows are
-    routed to their canonical-content owner shard (all_to_all over ICI),
-    each shard enumerates its unique-MUM seed runs and extends its
-    candidates in lockstep; extension reads the position-order key
-    tables, which are replicated across the mesh (genome-scale tables
-    are MBs; a halo-exchange of sequence tiles replaces this at
-    multi-host genome counts).  Cross-shard duplicate candidates (seeds
-    of one maximal match live on different shards) collapse in the final
-    host-side dedup.
+    routed to their canonical-content owner shard (all_to_all over ICI
+    with per-destination send capacity 2x the balanced share — O(rows),
+    not n_dev x rows — and psum'd overflow detection), each shard
+    enumerates its unique-MUM seed runs, extends its candidates in
+    lockstep, and DEDUPS shard-locally before the host gather.
+    Per-device live memory is proportional to total/n_dev throughout
+    routing, enumeration, and candidate storage; the one replicated
+    structure left is the position-order key table read by extension
+    (G x L x 4B — MBs at bacterial scale; a position-tile halo exchange
+    replaces it at multi-host genome counts, see SURVEY M7).
+    Cross-shard duplicate candidates (seeds of one maximal match that
+    hashed to different shards) collapse in the final host-side dedup.
 
     Returns a MatchArray (same semantics as find_mums: unique MUMs,
     repeat_tolerance=0).
@@ -238,8 +222,8 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()))
     def step(k, g, p, keys_posorder, offs, cnts):
         sentinel = jnp.array(sentinel_val, k.dtype)
-        content, rg, rp, rstrand = _route_local(k, g, p, weight, n_dev,
-                                                sentinel)
+        (content, rg, rp, rstrand), dropped = _route_local(
+            k, g, p, weight, n_dev, sentinel)
         sentinel_content = sentinel >> 1
         # unique-MUM seed enumeration on the local run table
         sc = seg.run_starts(content)
@@ -278,9 +262,22 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
             jnp.broadcast_to(cnts, (capacity, G)),
             lefts, present, is_fwd, lengths)
         out_starts = jnp.where(present, jnp.sign(starts) * (lefts + 1), 0)
+        # shard-local dedup before the host gather: identical extended
+        # rows collapse here so the gather moves ~unique matches only
+        sort_ops = tuple(out_starts[:, gg] for gg in range(G)) + (
+            lengths, (~valid).astype(jnp.int32))
+        sorted_ops = jax.lax.sort(sort_ops, num_keys=G + 2,
+                                  is_stable=False)
+        srows = jnp.stack(sorted_ops[:G + 1], axis=1)
+        svalid = sorted_ops[G + 1] == 0
+        first = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.any(srows[1:] != srows[:-1], axis=1)])
+        uniq = svalid & first
         overflow = jax.lax.psum(
-            jnp.maximum(n_rows - capacity, 0), SHARD_AXIS)
-        return (out_starts[None], lengths[None], valid[None], overflow)
+            jnp.maximum(n_rows - capacity, 0) + dropped, SHARD_AXIS)
+        return (srows[None, :, :G], srows[None, :, G], uniq[None],
+                overflow)
 
     starts, lengths, valid, overflow = step(
         jnp.asarray(keys), jnp.asarray(gid), jnp.asarray(pos),
