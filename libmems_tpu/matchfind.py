@@ -672,11 +672,53 @@ def _seed_table(smls: list[SortedMerList]):
     return _sorted_seed_table(keys, gid, pos)
 
 
+def _containment_filter(starts: np.ndarray, lengths: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop matches contained in another match with the same diagonal
+    signature (the MemHash offset-bucket containment test,
+    MemHash::AddHashEntry / MatchHashEntry::Contains,
+    libMems/MemHash.cpp:209-251): for ungapped matches, containment
+    implies identical (participation, strand pattern, per-genome
+    diagonals), so buckets are the diagonal clusters and containment is
+    an interval-cover scan within each."""
+    R, G = starts.shape
+    if R < 2:
+        return starts, lengths
+    present = starts != 0
+    pos = np.abs(starts) - 1
+    ref_idx = np.argmax(present, axis=1)
+    pos_ref = pos[np.arange(R), ref_idx]
+    neg = starts < 0
+    delta = np.where(present,
+                     np.where(neg, pos + pos_ref[:, None],
+                              pos - pos_ref[:, None]),
+                     np.int64(1) << 62)
+    w = np.int64(1) << np.arange(G, dtype=np.int64)
+    sig = [(present * w).sum(axis=1), (neg * w).sum(axis=1)] \
+        + [delta[:, g] for g in range(G)]
+    order = np.lexsort((-lengths, pos_ref) + tuple(sig[::-1]))
+    s_sig = np.stack(sig, axis=1)[order]
+    s_start = pos_ref[order]
+    s_end = s_start + lengths[order] - 1
+    keep = np.ones(R, dtype=bool)
+    # within a signature run, sorted by (start asc, length desc): a row
+    # is contained iff some earlier row's end reaches its end
+    run_max_end = -1
+    for i in range(R):
+        if i > 0 and (s_sig[i] != s_sig[i - 1]).any():
+            run_max_end = -1
+        if s_end[i] <= run_max_end:
+            keep[order[i]] = False
+        run_max_end = max(run_max_end, s_end[i])
+    return starts[keep], lengths[keep]
+
+
 def find_mums(genomes_or_smls, seed: int | None = None,
               repeat_tolerance: int = 0,
               repeat_limit: int = MER_REPEAT_LIMIT,
               min_multiplicity: int = 2,
-              extend: bool = True) -> MatchArray:
+              extend: bool = True,
+              enumeration_tolerance: int = 1) -> MatchArray:
     """Find multi-MUMs across N genomes (MemHash::FindMatches equivalent).
 
     Default semantics match MemHash with repeat_tolerance=0 /
@@ -684,10 +726,18 @@ def find_mums(genomes_or_smls, seed: int | None = None,
     genome generate matches (unique multi-MUMs).  The default path runs
     the fused device pipeline (sort + enumeration + diagonal clustering +
     extension in one XLA computation); tolerance>0 / no-extend modes use
-    the host orchestration below.
+    the host orchestration below.  enumeration_tolerance>1 emits every
+    cross-genome combination of each surviving seed's first
+    `enumeration_tolerance` occurrences per genome (the odometer loop of
+    MatchFinder::EnumerateMatches, libMems/MatchFinder.cpp:342-393,
+    driven by MemHash::EnumerateMatches, MemHash.cpp:139-162).
     """
     smls, seed = _as_smls(genomes_or_smls, seed)
     G = len(smls)
+    if enumeration_tolerance > 1:
+        return _find_mums_enumerated(
+            smls, repeat_tolerance, enumeration_tolerance, repeat_limit,
+            min_multiplicity, extend)
     if repeat_tolerance == 0 and extend:
         starts, lengths, valid, n_rows, n_reps = find_mums_device(
             smls, repeat_limit=repeat_limit)
@@ -733,6 +783,85 @@ def find_mums(genomes_or_smls, seed: int | None = None,
     if min_multiplicity > 2:
         out = MatchArray(out.starts[out.multiplicity() >= min_multiplicity],
                          out.lengths[out.multiplicity() >= min_multiplicity])
+    return out.canonical_sort()
+
+
+def _find_mums_enumerated(smls, repeat_tolerance: int,
+                          enumeration_tolerance: int, repeat_limit: int,
+                          min_multiplicity: int, extend: bool
+                          ) -> MatchArray:
+    """Host orchestration of the enumeration_tolerance>1 semantics:
+    per surviving seed run, emit every cross-genome combination of each
+    genome's first `enumeration_tolerance` occurrences (position order),
+    with per-combination strand reference = the combination's first
+    occurrence (MemHash::EnumerateMatches -> MatchFinder::
+    EnumerateMatches odometer + SetDirection, MemHash.cpp:139-203)."""
+    import itertools
+
+    G = len(smls)
+    content, gid, pos, strand = (np.asarray(x) for x in _seed_table(smls))
+    n = len(content)
+    if n == 0:
+        return MatchArray.empty(G)
+    # reference arrival order within a genome's run is SML order =
+    # (canonical key, pos) = (strand bit, pos) within equal content
+    order = np.lexsort((pos, strand, gid, content))
+    content, gid, pos, strand = (x[order] for x in
+                                 (content, gid, pos, strand))
+    run_start = np.concatenate([[True], content[1:] != content[:-1]])
+    sub_start = run_start | np.concatenate(
+        [[True], gid[1:] != gid[:-1]])
+    run_id = np.cumsum(run_start) - 1
+    # per-(run, gid) occurrence rank
+    idx = np.arange(n)
+    sub_first = idx[sub_start][np.cumsum(sub_start) - 1]
+    occ_rank = idx - sub_first
+    # per-run per-genome counts + run survival
+    counts = np.zeros((run_id[-1] + 1, G), dtype=np.int64)
+    np.add.at(counts, (run_id, gid), 1)
+    run_len = counts.sum(axis=1)
+    survive = (counts.max(axis=1) <= repeat_tolerance + 1) \
+        & ((counts > 0).sum(axis=1) >= 2) & (run_len <= repeat_limit)
+
+    kept = survive[run_id] & (occ_rank < enumeration_tolerance)
+    rows = []
+    lens = []
+    seed_len = smls[0].seed_length
+    k_idx = np.flatnonzero(kept)
+    if len(k_idx) == 0:
+        return MatchArray.empty(G)
+    # group kept occurrences by run
+    change = np.concatenate([[True],
+                             run_id[k_idx][1:] != run_id[k_idx][:-1]])
+    for lo, hi in zip(np.flatnonzero(change),
+                      np.append(np.flatnonzero(change)[1:], len(k_idx))):
+        members = k_idx[lo:hi]
+        by_gid: dict[int, list[int]] = {}
+        for m in members:
+            by_gid.setdefault(int(gid[m]), []).append(m)
+        if len(by_gid) < 2:
+            continue
+        for combo in itertools.product(*by_gid.values()):
+            ref_st = strand[combo[0]]
+            s = np.zeros(G, dtype=np.int64)
+            for m in combo:
+                sign = 1 if strand[m] == ref_st else -1
+                s[gid[m]] = sign * (int(pos[m]) + 1)
+            rows.append(s)
+            lens.append(seed_len)
+    if not rows:
+        return MatchArray.empty(G)
+    starts = np.stack(rows)
+    lengths = np.array(lens, dtype=np.int64)
+    if extend:
+        starts, lengths = _cluster_reduce_np(starts, lengths, seed_len)
+        starts, lengths = _extend_rows(smls, starts, lengths)
+    out = MatchArray(starts, lengths).dedup()
+    s2, l2 = _containment_filter(out.starts, out.lengths)
+    out = MatchArray(s2, l2)
+    if min_multiplicity > 2:
+        keep = out.multiplicity() >= min_multiplicity
+        out = MatchArray(out.starts[keep], out.lengths[keep])
     return out.canonical_sort()
 
 

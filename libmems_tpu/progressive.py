@@ -854,27 +854,84 @@ def progressive_align(genomes: list[Genome],
 
 MIN_REFINE_WINDOW = 200      # ProgressiveAligner.cpp:57
 MAX_REFINE_WINDOW = 20000    # ProgressiveAligner.cpp:58
+MIN_DENSITY = 0.5            # ProgressiveAligner.cpp:59
+MAX_DENSITY = 0.9            # ProgressiveAligner.cpp:60
+BIG_GAP_RUN = 200            # one-sided gap runs split out, not refined
+
+
+def _refine_windows(rows: np.ndarray) -> list[tuple[int, int, bool]]:
+    """Gap-aware refinement windows (refineAlignment's
+    removeLargeGapsPP + density-adaptive halving, PA.cpp:1118-1175):
+
+    1. column runs of >= BIG_GAP_RUN where at most one row has
+       characters are split out and NOT refined (gaps cannot move
+       across them, and re-aligning a one-row region is a no-op);
+    2. remaining segments are halved until they fit the density-scaled
+       window cap: dense (>= MAX_DENSITY occupancy) -> max/3, medium ->
+       max, sparse (< MIN_DENSITY) -> 3x max (IsDenseEnough classes).
+
+    Returns (lo, hi_exclusive, refine?) spans covering all columns."""
+    G, C = rows.shape
+    nongap_rows = (rows != ord("-")).sum(axis=0)
+    big_gap_col = nongap_rows <= 1
+    # maximal big-gap runs
+    spans: list[tuple[int, int, bool]] = []
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        [[0], big_gap_col.view(np.int8), [0]])))
+    cur = 0
+    for lo, hi in zip(edges[::2], edges[1::2]):
+        if hi - lo >= BIG_GAP_RUN:
+            if lo > cur:
+                spans.append((cur, int(lo), True))
+            spans.append((int(lo), int(hi), False))
+            cur = int(hi)
+    if cur < C:
+        spans.append((cur, C, True))
+
+    out: list[tuple[int, int, bool]] = []
+    occ = rows != ord("-")
+    stack = spans[::-1]
+    while stack:
+        lo, hi, ref = stack.pop()
+        if not ref:
+            out.append((lo, hi, False))
+            continue
+        width = hi - lo
+        density = float(occ[:, lo:hi].mean())
+        cap = MAX_REFINE_WINDOW
+        if density >= MAX_DENSITY:
+            cap = MAX_REFINE_WINDOW // 3
+        elif density < MIN_DENSITY:
+            cap = MAX_REFINE_WINDOW * 3
+        if width > cap and width > 2 * MIN_REFINE_WINDOW:
+            mid = lo + width // 2
+            stack.append((mid, hi, True))
+            stack.append((lo, mid, True))
+        else:
+            out.append((lo, hi, True))
+    out.sort()
+    return out
 
 
 def refine_rows_windowed(rows: np.ndarray,
-                         window: int = 2000) -> np.ndarray:
+                         window: int | None = None) -> np.ndarray:
     """Windowed iterative refinement of final alignment rows
-    (refineAlignment, PA.cpp:1118-1239): re-align column windows with
-    the MSA refiner, keeping a window's result only when its
-    sum-of-pairs score improves (msa.refine does the accept test).
-    Gap-aware window boundaries are not needed — windows are re-aligned
-    independently and spliced, preserving every row's character
-    content."""
+    (refineAlignment, PA.cpp:1118-1239): split out large one-sided gap
+    runs, halve the rest into density-scaled windows, re-align each with
+    the MSA refiner (which keeps a window's result only when its
+    sum-of-pairs score improves), and splice."""
     from libmems_tpu.msa import refine as msa_refine
     from libmems_tpu.scoring import ascii_rows_to_codes, \
         codes_rows_to_ascii
     G, C = rows.shape
     if C <= MIN_REFINE_WINDOW:
         return rows
-    window = max(MIN_REFINE_WINDOW, min(window, MAX_REFINE_WINDOW))
     parts = []
-    for lo in range(0, C, window):
-        chunk = rows[:, lo:lo + window]
+    for lo, hi, do_refine in _refine_windows(rows):
+        chunk = rows[:, lo:hi]
+        if not do_refine:
+            parts.append(chunk)
+            continue
         codes = ascii_rows_to_codes(chunk)
         refined = msa_refine(codes, tree=None, iters=1)
         out = codes_rows_to_ascii(refined)

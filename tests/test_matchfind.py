@@ -137,3 +137,36 @@ def test_multiplicity_and_length_filters():
     assert (lf.lengths >= 20).all()
     mf = m.multiplicity_filter(2)
     assert len(mf) == len(m)
+
+
+@pytest.mark.parametrize("rt,et", [(1, 2), (2, 2), (2, 3)])
+def test_enumeration_tolerance_expansion(rt, et):
+    """enumeration_tolerance>1: odometer expansion over each surviving
+    seed's first `et` occurrences per genome (MemHash.cpp:139-162,
+    MatchFinder.cpp:342-393), oracle parity on repeat-rich input."""
+    seed = seedlib.get_seed(5, 0)
+    rng = np.random.default_rng(7)
+    core = random_seq(rng, 80)
+    # repeats within each genome so runs have multiple per-genome hits
+    a = core + random_seq(rng, 60) + core + random_seq(rng, 50)
+    b = mutate(rng, core, 0.02) + random_seq(rng, 40) \
+        + mutate(rng, core, 0.02)
+    got = find_mums([a, b], seed, repeat_tolerance=rt,
+                    enumeration_tolerance=et)
+    want = match_set(find_mums_oracle([a, b], seed, repeat_tolerance=rt,
+                                      enumeration_tolerance=et))
+    assert got.key_set() == want
+
+
+def test_enumeration_tolerance_three_genomes():
+    seed = seedlib.get_seed(5, 0)
+    rng = np.random.default_rng(11)
+    core = random_seq(rng, 70)
+    seqs = [core + random_seq(rng, 30) + core,
+            mutate(rng, core, 0.02) + random_seq(rng, 25),
+            random_seq(rng, 20) + mutate(rng, core, 0.02)]
+    got = find_mums(seqs, seed, repeat_tolerance=2,
+                    enumeration_tolerance=2)
+    want = match_set(find_mums_oracle(seqs, seed, repeat_tolerance=2,
+                                      enumeration_tolerance=2))
+    assert got.key_set() == want
