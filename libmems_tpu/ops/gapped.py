@@ -47,6 +47,30 @@ GAP_EXTEND = -30   # SubstitutionMatrix.h:35
 
 NEG_INF = np.int32(-(1 << 30))
 
+
+def read_substitution_matrix(path_or_fh) -> np.ndarray:
+    """Parse the reference's substitution-matrix file format
+    (readSubstitutionMatrix, libMems/SubstitutionMatrix.h:76-107):
+    one header line, an 'A C G T N' column-label line, then four rows
+    of 'letter s(A) s(C) s(G) s(T) s(N)' (the N column is ignored).
+    Returns int32[4, 4]."""
+    import os
+    own = isinstance(path_or_fh, (str, os.PathLike))
+    fh = open(path_or_fh) if own else path_or_fh
+    try:
+        fh.readline()                       # header info
+        labels = fh.readline().split()
+        if labels[:5] != ["A", "C", "G", "T", "N"]:
+            raise ValueError("Invalid substitution matrix format")
+        out = np.zeros((4, 4), dtype=np.int32)
+        for i in range(4):
+            tok = fh.readline().split()
+            out[i] = [int(x) for x in tok[1:5]]
+        return out
+    finally:
+        if own:
+            fh.close()
+
 # pointer byte layout
 H_DIAG, H_E, H_F = 0, 1, 2
 E_EXT_BIT = 4

@@ -138,21 +138,53 @@ class SortedMerList:
             np.asarray(self.sorted_positions).astype("<i4").tofile(fh)
 
     @staticmethod
-    def load(path: str | os.PathLike) -> "SortedMerList":
+    def load(path: str | os.PathLike, mmap: bool = True
+             ) -> "SortedMerList":
+        """Load an SML file.  With mmap=True (default) the on-disk key
+        and position arrays are memory-mapped (FileSML's
+        boost::iostreams::mapped_file_source equivalent,
+        libMems/FileSML.h:109-111): host RAM holds only pages actually
+        touched, and device upload streams straight from the page
+        cache — the RAM-bounded load path for big genomes."""
         path = os.fspath(path)
         with open(path, "rb") as fh:
             magic = fh.read(8)
             if magic != _MAGIC:
                 raise ValueError(f"{path}: not a libmems_tpu SML file")
-            seed, length, circular, n = np.frombuffer(fh.read(32), dtype="<u8")
-            keys64 = np.fromfile(fh, dtype="<u8", count=int(n))
-            spos = np.fromfile(fh, dtype="<i4", count=int(n))
+            seed, length, circular, n = np.frombuffer(fh.read(32),
+                                                      dtype="<u8")
+            n = int(n)
+            keys_off = fh.tell()
+        spos_off = keys_off + 8 * n
         dt = key_dtype(int(seed))
-        keys = jnp.asarray(keys64.astype(dt))
-        skeys = jnp.asarray(keys64[spos].astype(dt))
+        if mmap:
+            keys64 = np.memmap(path, dtype="<u8", mode="r",
+                               offset=keys_off, shape=(n,))
+            spos_mm = np.memmap(path, dtype="<i4", mode="r",
+                                offset=spos_off, shape=(n,))
+            # chunked upload: host RAM holds one chunk at a time; the
+            # sorted-key view is a device gather, never a host copy
+            chunk = 1 << 22
+            keys = jnp.concatenate([
+                jnp.asarray(np.asarray(keys64[i:i + chunk], dtype=dt))
+                for i in range(0, max(n, 1), chunk)]) if n else \
+                jnp.zeros((0,), dt)
+            spos = jnp.concatenate([
+                jnp.asarray(np.asarray(spos_mm[i:i + chunk]))
+                for i in range(0, max(n, 1), chunk)]) if n else \
+                jnp.zeros((0,), jnp.int32)
+            skeys = keys[spos]
+        else:
+            with open(path, "rb") as fh:
+                fh.seek(keys_off)
+                keys64 = np.fromfile(fh, dtype="<u8", count=n)
+                spos_np = np.fromfile(fh, dtype="<i4", count=n)
+            keys = jnp.asarray(keys64.astype(dt))
+            spos = jnp.asarray(spos_np)
+            skeys = jnp.asarray(keys64[spos_np].astype(dt))
         return SortedMerList(seed=int(seed), length=int(length), keys=keys,
-                             sorted_keys=jnp.asarray(skeys),
-                             sorted_positions=jnp.asarray(spos),
+                             sorted_keys=skeys,
+                             sorted_positions=spos,
                              circular=bool(circular), filename=path)
 
     @staticmethod

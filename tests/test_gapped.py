@@ -104,3 +104,22 @@ def test_indel_alignment():
     # one gap run of length 10 in b's row
     assert bg.sum() == 10
     assert ag.sum() == 0
+
+
+def test_read_substitution_matrix():
+    import io
+    from libmems_tpu.ops.gapped import read_substitution_matrix
+    txt = ("#example matrix\n"
+           "A C G T N\n"
+           "A 91 -114 -31 -123 0\n"
+           "C -114 100 -125 -31 0\n"
+           "G -31 -125 100 -114 0\n"
+           "T -123 -31 -114 91 0\n")
+    m = read_substitution_matrix(io.StringIO(txt))
+    assert (m == HOXD70).all()
+    bad = txt.replace("A C G T N", "A C G T")
+    try:
+        read_substitution_matrix(io.StringIO(bad))
+        assert False, "should reject bad header"
+    except (ValueError, IndexError):
+        pass
