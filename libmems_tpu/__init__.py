@@ -44,7 +44,8 @@ from libmems_tpu.distance import distance_matrix, identity_matrix, \
 from libmems_tpu.interval import marble
 from libmems_tpu.msa import align_codes, refine
 from libmems_tpu.progressive import ProgressiveConfig, progressive_align
-from libmems_tpu.backbone import detect_backbone, write_backbone_seq_coordinates, \
+from libmems_tpu.backbone import apply_backbone, detect_backbone, \
+    write_backbone_seq_coordinates, \
     write_backbone_columns, compute_gc
 
 __all__ = [
@@ -81,6 +82,7 @@ __all__ = [
     "ProgressiveConfig",
     "progressive_align",
     "detect_backbone",
+    "apply_backbone",
     "write_backbone_seq_coordinates",
     "write_backbone_columns",
     "compute_gc",
