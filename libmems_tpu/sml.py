@@ -195,18 +195,114 @@ class SortedMerList:
         """Out-of-core build through the native distribution sort
         (FileSML::dmCreate -> dmSML equivalent, FileSML.cpp:278-314):
         for genomes whose (key, pos) table exceeds device/host RAM.
-        Falls back to the in-memory device sort when the native library
-        is unavailable."""
+        Falls back to the pure-python split-sort-merge below
+        (FileSML::BigCreate/Merge, FileSML.cpp:417-660) when the native
+        library cannot be built."""
         from libmems_tpu import native
         if native.available():
             native.create_file_sml(genome_or_codes, seed, sml_path,
                                    scratch_dir=scratch_dir,
                                    mem_limit=mem_limit, circular=circular)
             return SortedMerList.load(sml_path)
-        sml = SortedMerList.create(genome_or_codes, seed,
-                                   circular=circular)
-        sml.save(sml_path)
-        return sml
+        return SortedMerList._big_create_py(
+            genome_or_codes, seed, sml_path, scratch_dir=scratch_dir,
+            mem_limit=mem_limit, circular=circular)
+
+    @staticmethod
+    def _big_create_py(genome_or_codes, seed: int, sml_path: str,
+                       scratch_dir: str | None = None,
+                       mem_limit: int = 256 << 20,
+                       circular: bool = False) -> "SortedMerList":
+        """RAM-bounded split-sort-merge SML build (FileSML::BigCreate +
+        Merge, libMems/FileSML.cpp:417-660): the genome is processed in
+        chunks that fit mem_limit, each chunk's (key, pos) records are
+        sorted and spilled to a scratch run file, and the runs are
+        k-way-merged into the final sorted-position array.  Host RAM
+        holds one chunk plus one merge block per run at any time."""
+        import heapq
+        import tempfile
+
+        if isinstance(genome_or_codes, Genome):
+            codes = genome_or_codes.codes
+        else:
+            codes = np.asarray(genome_or_codes, dtype=np.uint8)
+        if circular:
+            codes = np.concatenate(
+                [codes, codes[: seedlib.seed_length(seed) - 1]])
+            length = len(codes) - (seedlib.seed_length(seed) - 1)
+        else:
+            length = len(codes)
+        seed_len = seedlib.seed_length(seed)
+        n = max(len(codes) - seed_len + 1, 0)
+        # 12 bytes/record (u8 key + i4 pos); chunk sized to mem_limit/4
+        # to leave room for the sort's working copies
+        chunk = max(1 << 16, int(mem_limit // (12 * 4)))
+        run_paths = []
+        tmpdir = tempfile.mkdtemp(dir=scratch_dir)
+        try:
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                # windows starting in [lo, hi) need codes up to
+                # hi+seed_len-1
+                part = canonical_seed_keys_np(
+                    codes[lo:hi + seed_len - 1], seed).astype("<u8")
+                pos = np.arange(lo, hi, dtype="<i4")
+                order = np.argsort(part, kind="stable")
+                rp = os.path.join(tmpdir, f"run{len(run_paths)}.bin")
+                with open(rp, "wb") as fh:
+                    rec = np.empty(hi - lo,
+                                   dtype=[("k", "<u8"), ("p", "<i4")])
+                    rec["k"] = part[order]
+                    rec["p"] = pos[order]
+                    rec.tofile(fh)
+                run_paths.append(rp)
+
+            # k-way merge of sorted runs -> sorted positions, streaming
+            rec_dt = np.dtype([("k", "<u8"), ("p", "<i4")])
+            block = max(1 << 14, chunk // max(len(run_paths), 1))
+            readers = [np.memmap(rp, dtype=rec_dt, mode="r")
+                       for rp in run_paths]
+            heads = [(int(r[0]["k"]), ri, 0) for ri, r in enumerate(readers)
+                     if len(r)]
+            heapq.heapify(heads)
+            spos_parts = []
+            out = np.empty(block, dtype="<i4")
+            fill = 0
+            spos_path = os.path.join(tmpdir, "spos.bin")
+            with open(spos_path, "wb") as sfh:
+                while heads:
+                    k, ri, off = heapq.heappop(heads)
+                    out[fill] = readers[ri][off]["p"]
+                    fill += 1
+                    if fill == block:
+                        out[:fill].tofile(sfh)
+                        fill = 0
+                    if off + 1 < len(readers[ri]):
+                        heapq.heappush(
+                            heads, (int(readers[ri][off + 1]["k"]), ri,
+                                    off + 1))
+                if fill:
+                    out[:fill].tofile(sfh)
+
+            # write the SML file: header + position-order keys + sorted
+            # positions, all streamed in chunks
+            with open(sml_path, "wb") as fh:
+                fh.write(_MAGIC)
+                header = np.array([seed, length, int(circular), n],
+                                  dtype="<u8")
+                fh.write(header.tobytes())
+                for lo in range(0, n, chunk):
+                    hi = min(lo + chunk, n)
+                    part = canonical_seed_keys_np(
+                        codes[lo:hi + seed_len - 1], seed).astype("<u8")
+                    part.tofile(fh)
+                spos_mm = np.memmap(spos_path, dtype="<i4", mode="r")
+                for lo in range(0, n, chunk):
+                    np.asarray(spos_mm[lo:lo + chunk]).tofile(fh)
+        finally:
+            import shutil
+            shutil.rmtree(tmpdir, ignore_errors=True)
+        return SortedMerList.load(sml_path)
 
     @staticmethod
     def load_or_create(genome: Genome, seed: int,

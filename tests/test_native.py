@@ -74,3 +74,29 @@ def test_create_big_entrypoint(tmp_path):
     mem = SortedMerList.create(codes, seed)
     assert (np.asarray(sml.sorted_positions) ==
             np.asarray(mem.sorted_positions)).all()
+
+
+def test_big_create_python_fallback(tmp_path):
+    """Pure-python split-sort-merge BigCreate (FileSML.cpp:417-660):
+    multi-chunk out-of-core build must be bit-identical to the
+    in-memory device sort."""
+    import numpy as np
+    from libmems_tpu import seeds as seedlib
+    from libmems_tpu.sml import SortedMerList
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=30_000).astype(np.uint8)
+    seed = seedlib.get_seed(9, 0)
+    path = str(tmp_path / "big.sml")
+    # mem_limit small enough to force many chunks
+    sml = SortedMerList._big_create_py(codes, seed, path,
+                                       mem_limit=48 * 4096)
+    ref = SortedMerList.create(codes, seed)
+    assert sml.n_windows == ref.n_windows
+    assert np.array_equal(np.asarray(sml.keys), np.asarray(ref.keys))
+    assert np.array_equal(np.asarray(sml.sorted_positions),
+                          np.asarray(ref.sorted_positions))
+    # file round-trips through the standard loader
+    again = SortedMerList.load(path)
+    assert np.array_equal(np.asarray(again.sorted_positions),
+                          np.asarray(ref.sorted_positions))
