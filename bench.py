@@ -259,7 +259,8 @@ def main():
             SortedMerList.create(codes_b, seed)]
 
     EC = 1 << 14
-    CHUNK = 256
+    CHUNK = None   # library default: shares the compile-cache entry with
+                   # find_mums' production path
 
     def run(ec):
         starts, lengths, valid, n_rows, n_reps = find_mums_device(

@@ -601,7 +601,7 @@ def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
 
 
 def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
-                     extend_capacity: int = 1 << 17,
+                     extend_capacity: int = 1 << 14,
                      chunk: int | None = None,
                      repeat_limit: int = MER_REPEAT_LIMIT):
     """Fused device-side find_mums (default unique-MUM semantics).
@@ -616,16 +616,39 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
     """
     seed_len = smls[0].seed_length
     if chunk is None:
-        chunk = max(seed_len, 128)
+        chunk = max(seed_len, 256)
     total = sum(s.n_windows for s in smls)
     if pair_fast_path_ok(smls):
+        from libmems_tpu.sml import _bucket_len
         extend_capacity = min(extend_capacity,
                               1 << max((total - 1).bit_length() - 1, 1))
-        keys_posorder = jnp.concatenate([s.keys for s in smls])
+        # bucket-pad each genome's key table with the all-ones sentinel:
+        # arbitrary genome sizes share compile-cache entries.  Sentinel
+        # windows can never survive the pair-run flags (their content
+        # runs are longer than 2), and extension never reaches them
+        # (gen_cnt carries the REAL window counts).
+        pads = [_bucket_len(s.n_windows) for s in smls]
+        # a pad of exactly 1 in BOTH genomes would form a 2-row sentinel
+        # run that mimics a surviving pair — bump to the next bucket
+        pads = [_bucket_len(p + 1) if p - s.n_windows == 1 else p
+                for p, s in zip(pads, smls)]
+        keys_pad = []
+        for s, p in zip(smls, pads):
+            sentinel = ~jnp.zeros((), s.keys.dtype)
+            keys_pad.append(jnp.concatenate([
+                s.keys, jnp.full((p - s.n_windows,), sentinel,
+                                 s.keys.dtype)]))
+        keys_posorder = jnp.concatenate(keys_pad)
         cnts = jnp.asarray(np.array([s.n_windows for s in smls], np.int32))
-        offs = jnp.asarray(np.concatenate(
-            [[0], np.cumsum([s.n_windows for s in smls])[:-1]]
-        ).astype(np.int32))
+        offs = jnp.asarray(np.array([0, pads[0]], np.int32))
+        pb = _pair_pos_bits(max(pads))
+        if 2 * smls[0].seed_weight + 3 + pb <= 64 and pb <= 30:
+            return _fused_pair_pipeline(
+                seed_len, chunk, pb, extend_capacity, repeat_limit, False,
+                keys_posorder, keys_pad[0], keys_pad[1], offs, cnts)
+        # padded table exceeds the word budget: exact-shape fallback
+        keys_posorder = jnp.concatenate([s.keys for s in smls])
+        offs = jnp.asarray(np.array([0, smls[0].n_windows], np.int32))
         pb = _pair_pos_bits(max(s.n_windows for s in smls))
         return _fused_pair_pipeline(
             seed_len, chunk, pb, extend_capacity, repeat_limit, False,

@@ -46,6 +46,16 @@ def _sort_by_key(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jax.lax.sort((keys, positions), num_keys=1, is_stable=True)
 
 
+def _bucket_len(n: int, minimum: int = 1 << 12) -> int:
+    """Pad lengths to sqrt(2)-spaced buckets so different genome lengths
+    share compile-cache entries (keys beyond the true window count carry
+    the all-ones sentinel and slice off after the sort)."""
+    b = minimum
+    while b < n:
+        b = b * 3 // 2
+    return b
+
+
 @dataclass
 class SortedMerList:
     """Canonical spaced-seed mer index of one genome (device arrays)."""
@@ -110,8 +120,19 @@ class SortedMerList:
             length = len(codes) - (seedlib.seed_length(seed) - 1)
         else:
             length = len(codes)
-        keys = canonical_seed_keys(jnp.asarray(codes), seed)
-        skeys, spos = _sort_by_key(keys)
+        seed_len = seedlib.seed_length(seed)
+        n = max(len(codes) - seed_len + 1, 0)
+        # bucket-pad so arbitrary genome lengths reuse compiled programs
+        pad_codes = _bucket_len(len(codes))
+        codes_p = np.zeros(pad_codes, dtype=np.uint8)
+        codes_p[: len(codes)] = codes
+        keys_p = canonical_seed_keys(jnp.asarray(codes_p), seed)
+        sentinel = ~jnp.zeros((), keys_p.dtype)
+        masked = jnp.where(
+            jnp.arange(keys_p.shape[0]) < n, keys_p, sentinel)
+        skeys_p, spos_p = _sort_by_key(masked)
+        keys = keys_p[:n]
+        skeys, spos = skeys_p[:n], spos_p[:n]
         return SortedMerList(seed=seed, length=int(length), keys=keys,
                              sorted_keys=skeys, sorted_positions=spos,
                              circular=circular, filename=filename)
