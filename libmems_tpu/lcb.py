@@ -60,23 +60,79 @@ def eliminate_overlaps(matches: MatchArray) -> MatchArray:
     with lower multiplicity (ties: shorter length); the trimmed-off piece
     survives as a new match without that genome if it still has
     multiplicity >= 2.
+
+    The per-genome pass is decomposed vectorized: rows are sorted by
+    |start| (numpy, stable), consecutive rows are grouped into overlap
+    clusters with a running-max end scan, and the reference's sequential
+    trim sweep runs only inside clusters of size >= 2 — non-overlapping
+    rows (the vast majority at genome scale) never touch Python lists.
     """
     if len(matches) < 2:
         return matches
     seq_count = matches.seq_count
-    # mutable working set: list of (starts int64[G], length) or None
-    work: list = [[matches.starts[i].copy(), int(matches.lengths[i])]
-                  for i in range(len(matches))]
+    starts = matches.starts.astype(np.int64, copy=True)      # [N, G]
+    lengths = matches.lengths.astype(np.int64, copy=True)    # [N]
 
     for seqI in range(seq_count):
+        n = len(lengths)
+        if n < 2:
+            break
+        col = starts[:, seqI]
+        has = col != NO_MATCH
         # sort by |start| in seqI, NO_MATCH first (SingleStartComparator)
-        work = [m for m in work if m is not None]
-        work.sort(key=lambda m: (m[0][seqI] != NO_MATCH, abs(m[0][seqI])))
-        new_matches = []
-        matchI = 0
-        while matchI < len(work) and work[matchI][0][seqI] == NO_MATCH:
-            matchI += 1
-        while matchI < len(work):
+        order = np.argsort(np.where(has, np.abs(col), -1), kind="stable")
+        starts = starts[order]
+        lengths = lengths[order]
+        col = starts[:, seqI]
+        k = int(np.count_nonzero(col == NO_MATCH))
+        if n - k < 2:
+            continue
+        a = np.abs(col[k:])
+        run_max_end = np.maximum.accumulate(a + lengths[k:])
+        brk = np.empty(n - k, dtype=bool)
+        brk[0] = True
+        brk[1:] = a[1:] >= run_max_end[:-1]     # no overlap with anything before
+        sizes = np.diff(np.append(np.flatnonzero(brk), n - k))
+        if int(sizes.max()) < 2:
+            continue
+        out_s = [starts[:k]]
+        out_l = [lengths[:k]]
+        new_matches: list = []
+        row0 = k
+        for size in sizes:
+            size = int(size)
+            if size < 2:
+                out_s.append(starts[row0:row0 + size])
+                out_l.append(lengths[row0:row0 + size])
+            else:
+                cluster = [[starts[j].copy(), int(lengths[j])]
+                           for j in range(row0, row0 + size)]
+                survivors, news = _sweep_overlap_cluster(cluster, seqI)
+                if survivors:
+                    out_s.append(np.stack([m[0] for m in survivors]))
+                    out_l.append(np.array([m[1] for m in survivors],
+                                          dtype=np.int64))
+                new_matches.extend(news)
+            row0 += size
+        if new_matches:
+            out_s.append(np.stack([m[0] for m in new_matches]))
+            out_l.append(np.array([m[1] for m in new_matches],
+                                  dtype=np.int64))
+        starts = np.concatenate(out_s)
+        lengths = np.concatenate(out_l)
+
+    if len(lengths) == 0:
+        return MatchArray.empty(seq_count)
+    return MatchArray(starts, lengths)
+
+
+def _sweep_overlap_cluster(work: list, seqI: int):
+    """Reference trim sweep (Aligner.cpp:78-170) over one overlap cluster,
+    already sorted by |start| in seqI.  Returns (survivors in order,
+    new trimmed-off matches)."""
+    new_matches: list = []
+    matchI = 0
+    while matchI < len(work):
             if work[matchI] is None:
                 matchI += 1
                 continue
@@ -138,12 +194,7 @@ def eliminate_overlaps(matches: MatchArray) -> MatchArray:
                     break
                 nextI += 1
             matchI += 1
-        work = [m for m in work if m is not None] + new_matches
-
-    if not work:
-        return MatchArray.empty(seq_count)
-    return MatchArray(np.stack([m[0] for m in work]),
-                      np.array([m[1] for m in work], dtype=np.int64))
+    return [m for m in work if m is not None], new_matches
 
 
 # --------------------------------------------------------------------------

@@ -112,6 +112,112 @@ def test_eliminate_overlaps_noop():
     assert out.key_set() == m.key_set()
 
 
+def _naive_eliminate_overlaps(matches: MatchArray) -> MatchArray:
+    """Unclustered reference sweep (Aligner.cpp:62-178 loop-faithful):
+    full per-genome sort + sequential trim over the whole list.  Used
+    only as the parity oracle for the clustered production version."""
+    from libmems_tpu.lcb import _crop_start, _crop_end
+    from libmems_tpu.match import NO_MATCH
+    if len(matches) < 2:
+        return matches
+    seq_count = matches.seq_count
+    work = [[matches.starts[i].astype(np.int64).copy(),
+             int(matches.lengths[i])] for i in range(len(matches))]
+    for seqI in range(seq_count):
+        work = [m for m in work if m is not None]
+        work.sort(key=lambda m: (m[0][seqI] != NO_MATCH, abs(m[0][seqI])))
+        new_matches = []
+        matchI = 0
+        while matchI < len(work) and work[matchI][0][seqI] == NO_MATCH:
+            matchI += 1
+        while matchI < len(work):
+            if work[matchI] is None:
+                matchI += 1
+                continue
+            nextI = matchI + 1
+            deleted_matchI = False
+            while nextI < len(work):
+                if work[nextI] is None:
+                    nextI += 1
+                    continue
+                startI = int(work[matchI][0][seqI])
+                lenI = work[matchI][1]
+                startJ = int(work[nextI][0][seqI])
+                diff = abs(startJ) - abs(startI) - lenI
+                if diff >= 0:
+                    break
+                diff = -diff
+                multI = int((work[matchI][0] != NO_MATCH).sum())
+                multJ = int((work[nextI][0] != NO_MATCH).sum())
+                lenJ = work[nextI][1]
+                if (multJ > multI) or (multJ == multI and lenJ > lenI):
+                    new_s, new_l = work[matchI][0].copy(), lenI
+                    if diff >= lenI:
+                        work[matchI] = None
+                        deleted_matchI = True
+                    else:
+                        if startI > 0:
+                            work[matchI][0], work[matchI][1] = _crop_end(
+                                work[matchI][0], lenI, diff)
+                            new_s, new_l = _crop_start(new_s, new_l,
+                                                       new_l - diff)
+                        else:
+                            work[matchI][0], work[matchI][1] = _crop_start(
+                                work[matchI][0], lenI, diff)
+                            new_s, new_l = _crop_end(new_s, new_l,
+                                                     new_l - diff)
+                else:
+                    new_s, new_l = work[nextI][0].copy(), lenJ
+                    if diff >= lenJ:
+                        work[nextI] = None
+                    else:
+                        if startJ > 0:
+                            work[nextI][0], work[nextI][1] = _crop_start(
+                                work[nextI][0], lenJ, diff)
+                            new_s, new_l = _crop_end(new_s, new_l,
+                                                     new_l - diff)
+                        else:
+                            work[nextI][0], work[nextI][1] = _crop_end(
+                                work[nextI][0], lenJ, diff)
+                            new_s, new_l = _crop_start(new_s, new_l,
+                                                      new_l - diff)
+                new_s[seqI] = NO_MATCH
+                if new_l > 0 and (new_s != NO_MATCH).sum() > 1:
+                    new_matches.append([new_s, new_l])
+                if deleted_matchI:
+                    break
+                nextI += 1
+            matchI += 1
+        work = [m for m in work if m is not None] + new_matches
+    if not work:
+        return MatchArray.empty(seq_count)
+    return MatchArray(np.stack([m[0] for m in work]),
+                      np.array([m[1] for m in work], dtype=np.int64))
+
+
+def test_eliminate_overlaps_clustered_parity_random():
+    """The clustered fast path must be row-identical to the unclustered
+    reference sweep on dense random overlap sets."""
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        G = int(rng.integers(2, 5))
+        N = int(rng.integers(2, 40))
+        starts = np.zeros((N, G), dtype=np.int64)
+        lengths = rng.integers(5, 60, size=N).astype(np.int64)
+        for i in range(N):
+            nz = rng.random(G) < 0.8
+            if nz.sum() < 2:
+                nz[:] = True
+            pos = rng.integers(1, 300, size=G)
+            sgn = rng.choice([-1, 1], size=G)
+            starts[i] = np.where(nz, sgn * pos, 0)
+        a = _naive_eliminate_overlaps(
+            MatchArray(starts.copy(), lengths.copy()))
+        b = eliminate_overlaps(MatchArray(starts.copy(), lengths.copy()))
+        assert np.array_equal(a.starts, b.starts)
+        assert np.array_equal(a.lengths, b.lengths)
+
+
 # ----------------------------------------------------------------------
 # GBE
 # ----------------------------------------------------------------------
