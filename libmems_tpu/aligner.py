@@ -171,8 +171,10 @@ def _extend_lcb_anchors(mums: MatchArray, genomes: list[Genome],
     for _ in range(max_rounds):
         new = []
         for gs, gl in _collinear_gap_windows(lcbs, members, mums, genomes):
+            # n-way-only masked search (MaskedMemHash via seq_mask;
+            # SearchLCBGaps, Aligner.cpp:2208-2212)
             found = search_gap(genomes, gs, gl, seed,
-                               seed_families=seed_families)
+                               seed_families=seed_families, nway=True)
             found = found.multiplicity_filter(seq_count)
             if len(found):
                 new.append(found)

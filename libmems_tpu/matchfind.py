@@ -327,9 +327,10 @@ def _recover_starts(words, posref_sorted, G: int, pos_bits: int):
     return jnp.stack(cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _fused_mum_pipeline(seed_len: int, chunk: int, capacity: int,
                         extend_capacity: int, repeat_limit: int,
+                        seq_mask: int,
                         keys_posorder, keys, gid, pos,
                         gen_off, gen_cnt):
     """Seed table -> flags -> candidates -> diagonal clustering ->
@@ -353,6 +354,19 @@ def _fused_mum_pipeline(seed_len: int, chunk: int, capacity: int,
     starts = starts.at[rid, gids].set(sign * (poss + 1), mode="drop")
     starts = starts[:capacity]
     valid = jnp.arange(capacity) < jnp.minimum(n_rows, capacity)
+
+    if seq_mask:
+        # MaskedMemHash::HashMatch (libMems/MaskedMemHash.cpp:38-63):
+        # reject seeds whose participation bitmask differs from seq_mask
+        # BEFORE they consume clustering/extension capacity.  Bit
+        # (G-1-seqI) <-> genome seqI (the reference builds match_number
+        # MSB-first over seqI).
+        want = jnp.asarray(
+            np.array([(seq_mask >> (G - 1 - g)) & 1 for g in range(G)],
+                     dtype=bool))
+        row_ok = jnp.all((starts != 0) == want[None, :], axis=1)
+        starts = jnp.where(row_ok[:, None], starts, 0)
+        valid = valid & row_ok
 
     # diagonal clustering: packed-signature sort (1-3 uint64 key words,
     # no payload — starts are recovered from the signature), then
@@ -603,7 +617,8 @@ def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
 def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
                      extend_capacity: int = 1 << 14,
                      chunk: int | None = None,
-                     repeat_limit: int = MER_REPEAT_LIMIT):
+                     repeat_limit: int = MER_REPEAT_LIMIT,
+                     seq_mask: int = 0):
     """Fused device-side find_mums (default unique-MUM semantics).
 
     One XLA computation: sort + segmented enumeration + diagonal
@@ -618,7 +633,9 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
     if chunk is None:
         chunk = max(seed_len, 256)
     total = sum(s.n_windows for s in smls)
-    if pair_fast_path_ok(smls):
+    # for G == 2 the only mask satisfiable by a multiplicity>=2 match is
+    # 0b11 == the fast path's exact-pair semantics
+    if pair_fast_path_ok(smls) and seq_mask in (0, 0b11):
         from libmems_tpu.sml import _bucket_len
         extend_capacity = min(extend_capacity,
                               1 << max((total - 1).bit_length() - 1, 1))
@@ -667,7 +684,8 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
     offs = jnp.asarray(np.concatenate(
         [[0], np.cumsum([s.n_windows for s in smls])[:-1]]).astype(np.int32))
     return _fused_mum_pipeline(seed_len, chunk, capacity, extend_capacity,
-                               repeat_limit, keys_posorder, keys, gid, pos,
+                               repeat_limit, seq_mask,
+                               keys_posorder, keys, gid, pos,
                                offs, cnts)
 
 
@@ -741,7 +759,8 @@ def find_mums(genomes_or_smls, seed: int | None = None,
               repeat_limit: int = MER_REPEAT_LIMIT,
               min_multiplicity: int = 2,
               extend: bool = True,
-              enumeration_tolerance: int = 1) -> MatchArray:
+              enumeration_tolerance: int = 1,
+              seq_mask: int = 0) -> MatchArray:
     """Find multi-MUMs across N genomes (MemHash::FindMatches equivalent).
 
     Default semantics match MemHash with repeat_tolerance=0 /
@@ -754,22 +773,30 @@ def find_mums(genomes_or_smls, seed: int | None = None,
     `enumeration_tolerance` occurrences per genome (the odometer loop of
     MatchFinder::EnumerateMatches, libMems/MatchFinder.cpp:342-393,
     driven by MemHash::EnumerateMatches, MemHash.cpp:139-162).
+
+    seq_mask != 0 keeps only seeds whose genome-participation bitmask
+    equals seq_mask, rejected BEFORE extension — MaskedMemHash::HashMatch
+    (libMems/MaskedMemHash.cpp:38-63), the n-way-only searcher of
+    SearchLCBGaps (Aligner.cpp:2208-2212).  Bit (G-1-seqI) <-> genome
+    seqI.
     """
     smls, seed = _as_smls(genomes_or_smls, seed)
     G = len(smls)
+    if seq_mask and bin(seq_mask).count("1") < max(2, min_multiplicity):
+        return MatchArray.empty(G)
     if enumeration_tolerance > 1:
         return _find_mums_enumerated(
             smls, repeat_tolerance, enumeration_tolerance, repeat_limit,
-            min_multiplicity, extend)
+            min_multiplicity, extend, seq_mask)
     if repeat_tolerance == 0 and extend:
         starts, lengths, valid, n_rows, n_reps = find_mums_device(
-            smls, repeat_limit=repeat_limit)
+            smls, repeat_limit=repeat_limit, seq_mask=seq_mask)
         n_reps = int(n_reps)
         if n_reps > valid.shape[0]:
             # rare: more diagonal-cluster representatives than the default
             # extension capacity — rerun with the exact requirement
             starts, lengths, valid, n_rows, n_reps = find_mums_device(
-                smls, repeat_limit=repeat_limit,
+                smls, repeat_limit=repeat_limit, seq_mask=seq_mask,
                 extend_capacity=1 << (int(n_reps) - 1).bit_length())
         v = np.asarray(valid)
         out = MatchArray(np.asarray(starts)[v].astype(np.int64),
@@ -797,6 +824,14 @@ def find_mums(genomes_or_smls, seed: int | None = None,
     sign = np.where(st == ref_st, 1, -1).astype(np.int64)
     starts[rid, g] = sign * (p + 1)
 
+    if seq_mask:
+        want = np.array([(seq_mask >> (G - 1 - gi)) & 1 for gi in range(G)],
+                        dtype=bool)
+        starts = starts[((starts != 0) == want[None, :]).all(axis=1)]
+        n_rows = len(starts)
+        if n_rows == 0:
+            return MatchArray.empty(G)
+
     seed_len = smls[0].seed_length
     lengths = np.full((n_rows,), seed_len, dtype=np.int64)
     if extend:
@@ -811,7 +846,8 @@ def find_mums(genomes_or_smls, seed: int | None = None,
 
 def _find_mums_enumerated(smls, repeat_tolerance: int,
                           enumeration_tolerance: int, repeat_limit: int,
-                          min_multiplicity: int, extend: bool
+                          min_multiplicity: int, extend: bool,
+                          seq_mask: int = 0
                           ) -> MatchArray:
     """Host orchestration of the enumeration_tolerance>1 semantics:
     per surviving seed run, emit every cross-genome combination of each
@@ -863,6 +899,8 @@ def _find_mums_enumerated(smls, repeat_tolerance: int,
         for m in members:
             by_gid.setdefault(int(gid[m]), []).append(m)
         if len(by_gid) < 2:
+            continue
+        if seq_mask and sum(1 << (G - 1 - gi) for gi in by_gid) != seq_mask:
             continue
         for combo in itertools.product(*by_gid.values()):
             ref_st = strand[combo[0]]

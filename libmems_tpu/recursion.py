@@ -83,14 +83,20 @@ def _gap_windows(starts: np.ndarray, lengths: np.ndarray, G: int):
 
 def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
                gap_lens: np.ndarray, seed: int,
-               seed_families: int = 1) -> MatchArray:
+               seed_families: int = 1, nway: bool = False) -> MatchArray:
     """Find MUMs among the gap fragments; returns matches in GLOBAL
     signed coordinates (pairwiseAnchorSearch / SearchWithinLCB analog).
 
     seed_families > 1 unions the MUMs found with that many same-weight
     seed patterns of increasing sensitivity rank before deduping —
     ProgressiveAligner::pairwiseAnchorSearch's use_seed_families mode
-    (ProgressiveAligner.cpp:619-651, seed_count = 3)."""
+    (ProgressiveAligner.cpp:619-651, seed_count = 3).
+
+    nway=True is the MaskedMemHash mode of SearchLCBGaps
+    (Aligner.cpp:2208-2212 + MaskedMemHash.cpp:38-63): only seeds in
+    which EVERY genome participates are kept, rejected before extension;
+    a gap where any genome's fragment is below seed length cannot yield
+    an n-way match and returns empty."""
     G = len(genomes)
     seed_len = seedlib.seed_length(seed)
     frags = []
@@ -104,8 +110,9 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
             a = revcomp_ascii(a)
         frags.append(translate_dna(a))
         members.append(g)
-    if len(members) < 2:
+    if len(members) < 2 or (nway and len(members) < G):
         return MatchArray.empty(G)
+    seq_mask = (1 << len(members)) - 1 if nway else 0
     weight = seedlib.seed_weight(seed)
     found: list[MatchArray] = []
     for rank in range(max(1, seed_families)):
@@ -114,7 +121,7 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
         except (KeyError, ValueError):
             break
         smls = [SortedMerList.create(f, fam_seed) for f in frags]
-        fam = find_mums(smls)
+        fam = find_mums(smls, seq_mask=seq_mask)
         if len(fam):
             found.append(fam)
     if not found:

@@ -170,3 +170,43 @@ def test_enumeration_tolerance_three_genomes():
     want = match_set(find_mums_oracle(seqs, seed, repeat_tolerance=2,
                                       enumeration_tolerance=2))
     assert got.key_set() == want
+
+
+# ----------------------------------------------------------------------
+# seq_mask (MaskedMemHash::HashMatch, libMems/MaskedMemHash.cpp:38-63)
+# ----------------------------------------------------------------------
+
+def test_seq_mask_full_nway_equals_multiplicity_filter():
+    rng = np.random.default_rng(11)
+    base = random_seq(rng, 1500)
+    seqs = [base, mutate(rng, base, 0.02), mutate(rng, base, 0.02)]
+    seed = seedlib.get_seed(7, 0)
+    full = find_mums(seqs, seed)
+    masked = find_mums(seqs, seed, seq_mask=0b111)
+    assert masked.key_set() == full.multiplicity_filter(3).key_set()
+    assert (masked.multiplicity() == 3).all()
+
+
+def test_seq_mask_partial_pattern():
+    rng = np.random.default_rng(12)
+    base = random_seq(rng, 1200)
+    # genome 1 diverges hard so some seeds live only in genomes {0, 2}
+    seqs = [base, mutate(rng, base, 0.30), mutate(rng, base, 0.02)]
+    seed = seedlib.get_seed(7, 0)
+    full = find_mums(seqs, seed)
+    # mask bit (G-1-seqI) <-> genome seqI: genomes {0,2} = 0b101
+    masked = find_mums(seqs, seed, seq_mask=0b101)
+    pattern = ((full.starts != 0) == np.array([True, False, True])).all(axis=1)
+    want = {(tuple(int(x) for x in row), int(l))
+            for row, l, ok in zip(full.starts, full.lengths, pattern) if ok}
+    assert masked.key_set() == want
+    if len(masked):
+        assert (masked.starts[:, 1] == 0).all()
+
+
+def test_seq_mask_unsatisfiable_is_empty():
+    rng = np.random.default_rng(13)
+    base = random_seq(rng, 600)
+    seqs = [base, mutate(rng, base, 0.02)]
+    seed = seedlib.get_seed(7, 0)
+    assert len(find_mums(seqs, seed, seq_mask=0b10)) == 0
