@@ -90,6 +90,8 @@ class ProgressiveConfig:
     seed_families: int = 1           # seeds per weight in gap search
     min_gap_search: int = 24         # smallest gap window re-searched
     use_bp_distance: bool = True     # scale penalties by BP distance
+    validate: bool = False           # debug_aligner-style invariant
+                                     # checks after every node merge
 
 
 @dataclass
@@ -164,6 +166,30 @@ def _project_side(aln: NodeAlignment, gid: int, p_lo: int, p_hi: int):
         if lo <= hi:
             out.append((int(idxs[i]), lo, hi))
         i += 1
+    return out
+
+
+def translate_leaf_to_node(node, gid: int, p_lo: int, p_hi: int
+                           ) -> list[tuple[int, int, int, int]]:
+    """Map a leaf genome's forward-strand range [p_lo, p_hi] onto an
+    ancestral node's alignment (translateGappedCoordinates analog,
+    libMems/ProgressiveAligner.cpp:325-527) via the forest links that
+    progressive_align attaches to the guide tree.
+
+    Returns (block_idx, col_lo, col_hi, leaf_lo) spans: alignment
+    columns of each covering block plus the leaf position where the
+    span begins."""
+    aln = getattr(node, "alignment", None)
+    if aln is None:
+        raise ValueError(
+            "node has no .alignment — run progressive_align first")
+    row = aln.row_of(gid)
+    out = []
+    for bi, lo, hi in _project_side(aln, gid, p_lo, p_hi):
+        blk = aln.blocks[bi]
+        cols = blk.genome_pos_to_column(row, np.array([lo, hi]))
+        c_lo, c_hi = int(cols.min()), int(cols.max())
+        out.append((bi, c_lo, c_hi, int(lo)))
     return out
 
 
@@ -815,6 +841,10 @@ def progressive_align(genomes: list[Genome],
     for leaf in tree.leaves():
         node_aln[id(leaf)] = leaf_alignment(leaf.sequence_id,
                                             genomes[leaf.sequence_id])
+        # ancestral-forest link (SuperInterval c1_siv/c2_siv/parent_siv
+        # analog, libMems/SuperInterval.h:41-46: tree edges + a
+        # per-node alignment give the same coordinate chain)
+        leaf.alignment = node_aln[id(leaf)]
     internals = alignment_order(tree)
     for ni, node in enumerate(internals):
         kids = node.children
@@ -832,6 +862,10 @@ def progressive_align(genomes: list[Genome],
                                   seed_families=cfg.seed_families,
                                   min_gap_search=cfg.min_gap_search)
         node_aln[id(node)] = acc
+        node.alignment = acc
+        if cfg.validate:
+            from libmems_tpu.validate import validate_node_alignment
+            validate_node_alignment(acc, genomes)
         trace.progress("progressive", ni + 1, len(internals))
 
     root_aln = node_aln[id(tree)]

@@ -137,3 +137,47 @@ def validate_interval_list(ivs: IntervalList,
         validate_interval(iv, ivs.genomes)
     if full_partition:
         validate_partition(ivs)
+
+
+def validate_node_alignment(aln, genomes) -> None:
+    """Progressive-node invariants — validateSuperIntervals /
+    validatePairwiseIntervals analog (libMems/ProgressiveAligner.cpp:
+    2771-2940) on a NodeAlignment:
+
+    * every descendant leaf's present blocks partition [1, len(genome)]
+      exactly (no gaps, no overlaps, nothing past the end);
+    * a row marked absent (start == 0) carries no characters;
+    * no block has an all-gap column (checkForAllGapColumns,
+      libMems/Backbone.cpp:249-271).
+    """
+    for row, gid in enumerate(aln.leaf_ids):
+        L = len(genomes[gid])
+        segs = []
+        for bi, blk in enumerate(aln.blocks):
+            le = int(blk.left_ends()[row])
+            ln = int(blk.lengths()[row])
+            if le == 0:
+                if ln:
+                    raise ValidationError(
+                        f"leaf {gid}: block {bi} marked absent but has "
+                        f"{ln} characters")
+                continue
+            if ln == 0:
+                raise ValidationError(
+                    f"leaf {gid}: block {bi} present at {le} but empty")
+            segs.append((le, le + ln - 1, bi))
+        segs.sort()
+        cur = 0
+        for le, re_, bi in segs:
+            if le != cur + 1:
+                raise ValidationError(
+                    f"leaf {gid}: coverage {'gap' if le > cur + 1 else 'overlap'}"
+                    f" at {le} (expected {cur + 1}) entering block {bi}")
+            cur = re_
+        if cur != L:
+            raise ValidationError(
+                f"leaf {gid}: coverage ends at {cur}, genome length {L}")
+    for bi, blk in enumerate(aln.blocks):
+        if blk.n_columns and not blk.bits.any(axis=0).all():
+            col = int(np.flatnonzero(~blk.bits.any(axis=0))[0])
+            raise ValidationError(f"block {bi}: all-gap column {col}")

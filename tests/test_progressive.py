@@ -220,3 +220,46 @@ def test_progressive_unrelated_genomes_no_crash():
           lm.Genome.from_string(to_str(b), name="B")]
     ivs, tree = progressive_align(gs, ProgressiveConfig())
     assert _coverage_exact(ivs, gs)
+
+
+def test_progressive_validate_and_forest(trio):
+    """cfg.validate runs validate_node_alignment after every merge
+    (validateSuperIntervals analog); the guide tree carries the
+    ancestral forest (.alignment per node) and leaf->node coordinate
+    translation round-trips."""
+    from libmems_tpu.progressive import translate_leaf_to_node
+    ivs, tree = progressive_align(
+        trio, ProgressiveConfig(validate=True))
+    # every node of the tree carries its NodeAlignment
+    for node in tree.postorder():
+        assert hasattr(node, "alignment")
+    root_aln = tree.alignment
+    assert sorted(root_aln.leaf_ids) == [0, 1, 2]
+    # translate a mid-genome range of leaf 0 to root columns and verify
+    # the column range really contains those bases
+    spans = translate_leaf_to_node(tree, 0, 4000, 4200)
+    assert spans, "range must be covered at the root"
+    covered = 0
+    for bi, c_lo, c_hi, leaf_lo in spans:
+        blk = root_aln.blocks[bi]
+        row = root_aln.row_of(0)
+        assert 0 <= c_lo <= c_hi < blk.n_columns
+        covered += int(blk.bits[row, c_lo:c_hi + 1].sum())
+    assert covered == 201
+
+
+def test_validate_node_alignment_rejects_corruption(trio):
+    from libmems_tpu.validate import (ValidationError,
+                                      validate_node_alignment)
+    ivs, tree = progressive_align(trio, ProgressiveConfig())
+    aln = tree.alignment
+    import copy
+    bad = copy.deepcopy(aln)
+    # punch a hole in leaf 0's coverage: shift one block's start
+    for blk in bad.blocks:
+        row = bad.row_of(0)
+        if blk.starts[row] > 1:
+            blk.starts[row] += 3
+            break
+    with pytest.raises(ValidationError):
+        validate_node_alignment(bad, trio)
