@@ -56,111 +56,13 @@ def _cpu_full_pipeline_np(codes_a, codes_b, seed):
     """Single-core numpy twin of the device fast path: identical
     algorithm (pack -> sort -> neighbor flags -> cluster sort -> rep
     compaction -> span-seeded extension -> dedup), so bases/s compares
-    the same work on one CPU core vs one TPU chip."""
-    from libmems_tpu import seeds as seedlib
-    from libmems_tpu.ops.mers import canonical_seed_keys_np
+    the same work on one CPU core vs one TPU chip.  The implementation
+    lives in libmems_tpu.matchfind.find_pair_mums_np (it doubles as the
+    host path for small gap searches)."""
+    from libmems_tpu.matchfind import find_pair_mums_np
 
-    seed_len = seedlib.seed_length(seed)
-    ka = canonical_seed_keys_np(codes_a, seed).astype(np.uint64)
-    kb = canonical_seed_keys_np(codes_b, seed).astype(np.uint64)
-    na, nb = len(ka), len(kb)
-    pb = max(int(max(na, nb)).bit_length(), 8)
-
-    def pack(keys, gid):
-        content = keys >> np.uint64(1)
-        strand = keys & np.uint64(1)
-        pos = np.arange(len(keys), dtype=np.uint64)
-        return (content << np.uint64(pb + 2)) \
-            | (np.uint64(gid) << np.uint64(pb + 1)) \
-            | (pos << np.uint64(1)) | strand
-
-    w = np.sort(np.concatenate([pack(ka, 0), pack(kb, 1)]))
-    c = w >> np.uint64(pb + 2)
-    gid = (w >> np.uint64(pb + 1)) & np.uint64(1)
-    pos = ((w >> np.uint64(1)) & np.uint64((1 << pb) - 1)).astype(np.int64)
-    strand = w & np.uint64(1)
-    c1 = np.concatenate([c[1:], [~np.uint64(0)]])
-    c2 = np.concatenate([c[2:], [~np.uint64(0)] * 2])
-    cp = np.concatenate([[~np.uint64(0)], c[:-1]])
-    g1 = np.concatenate([gid[1:], [np.uint64(0)]])
-    surv = (c == c1) & (c != cp) & (c1 != c2) & (gid == 0) & (g1 == 1)
-    posA = pos[surv]
-    posB = np.concatenate([pos[1:], [0]])[surv]
-    fwd = (strand == np.concatenate([strand[1:], [np.uint64(0)]]))[surv]
-
-    delta = np.where(fwd, posB - posA + (1 << pb), posB + posA)
-    order = np.lexsort((posA, delta, ~fwd))
-    pA, dl, fw, pB = posA[order], delta[order], fwd[order], posB[order]
-    same = np.concatenate([[False], (dl[1:] == dl[:-1])
-                           & (fw[1:] == fw[:-1])])
-    gap_ok = np.concatenate([[False], pA[1:] - pA[:-1] <= seed_len])
-    rep = ~(same & gap_ok)
-    rep_idx = np.flatnonzero(rep)
-    ends = np.concatenate([rep_idx[1:] - 1, [len(pA) - 1]])
-    r_pA, r_pB, r_fw = pA[rep_idx], pB[rep_idx], fw[rep_idx]
-    last_pA = pA[ends]
-    span = last_pA - r_pA
-    lengths = span + seed_len
-    leftB = np.where(r_fw, r_pB, dl[rep_idx] - last_pA)
-
-    # span-seeded ungapped extension, same probe rule as the device
-    keys_all = [ka, kb]
-    cnts = np.array([na, nb])
-
-    def extend_side(lefts, lengths, side):
-        R = len(lengths)
-        active = np.ones(R, dtype=bool)
-        C0 = 4 * seed_len
-        C = C0
-        while active.any():
-            d = np.arange(1, C + 1)
-            ai = np.flatnonzero(active)
-            matchm = np.ones((len(ai), C), dtype=bool)
-            for g in range(2):
-                fwd_g = np.ones(len(ai), bool) if g == 0 else r_fw[ai]
-                l = lefts[ai, g]
-                back_q = l[:, None] - d[None, :]
-                ahead_q = l[:, None] + lengths[ai, None] - seed_len \
-                    + d[None, :]
-                q = np.where(fwd_g[:, None],
-                             back_q if side == 0 else ahead_q,
-                             ahead_q if side == 0 else back_q)
-                validq = (q >= 0) & (q < cnts[g])
-                kq = keys_all[g][np.clip(q, 0, cnts[g] - 1)]
-                kq = kq ^ fwd_g[:, None].astype(kq.dtype)
-                if g == 0:
-                    refk = kq
-                    refv = validq
-                else:
-                    matchm &= validq & refv & (kq == refk)
-            dm = np.where(matchm, d[None, :], 0)
-            pm = np.maximum.accumulate(dm, axis=1)
-            pm_excl = np.concatenate(
-                [np.zeros((len(ai), 1), np.int64), pm[:, :-1]], axis=1)
-            bad = matchm & (d[None, :] - pm_excl > seed_len)
-            first_bad = np.where(bad.any(axis=1),
-                                 np.argmax(bad, axis=1) + 1, C + 1)
-            reach = np.max(np.where(matchm & (d[None, :]
-                                              < first_bad[:, None]),
-                                    d[None, :], 0), axis=1)
-            for g in range(2):
-                fwd_g = np.ones(len(ai), bool) if g == 0 else r_fw[ai]
-                mv = fwd_g if side == 0 else ~fwd_g
-                lefts[ai[mv], g] -= reach[mv]
-            lengths[ai] += reach
-            active[ai] = reach + seed_len > C
-            C = 8 * C0  # survivors are long: escalate the probe window
-        return lefts, lengths
-
-    lefts = np.stack([r_pA, leftB], axis=1).astype(np.int64)
-    lengths = lengths.astype(np.int64)
-    lefts, lengths = extend_side(lefts, lengths, 0)
-    lefts, lengths = extend_side(lefts, lengths, 1)
-    rows = np.stack([lefts[:, 0] + 1,
-                     np.where(r_fw, 1, -1) * (lefts[:, 1] + 1),
-                     lengths], axis=1)
-    uniq = np.unique(rows, axis=0)
-    return uniq
+    m = find_pair_mums_np(codes_a, codes_b, seed)
+    return np.stack([m.starts[:, 0], m.starts[:, 1], m.lengths], axis=1)
 
 
 def _cpu_reference_bases_per_s(codes_a, codes_b, seed, sample=1 << 20):

@@ -92,6 +92,11 @@ class ProgressiveConfig:
     use_bp_distance: bool = True     # scale penalties by BP distance
     validate: bool = False           # debug_aligner-style invariant
                                      # checks after every node merge
+    checkpoint_dir: str | None = None  # stage-checkpointed restart:
+                                     # persist pairwise matches + every
+                                     # completed node merge; a rerun
+                                     # with the same inputs resumes
+                                     # after the last finished node
 
 
 @dataclass
@@ -793,6 +798,108 @@ def merge_from_rows(s1: CompactAlignment, s2: CompactAlignment,
 # top-level driver
 # --------------------------------------------------------------------------
 
+class _ProgressiveCheckpoint:
+    """Stage-checkpointed restart state (the multi-host recovery story of
+    SURVEY §5: every stage boundary persists as arrays; a restarted run
+    — same genomes, same seed — resumes after the last completed node
+    merge).  Mirrors the reference's coarse file-based reuse
+    (MatchList::LoadSMLs create-if-missing, MatchList.h:261-349;
+    MemHash::WriteFile/LoadFile match-list reload, MemHash.cpp:266-327)
+    at progressive-node granularity."""
+
+    def __init__(self, path, genomes, seed: int):
+        import hashlib
+        import json
+        import os
+        self._os = os
+        self.dir = str(path)
+        os.makedirs(self.dir, exist_ok=True)
+        h = hashlib.sha256()
+        h.update(int(seed).to_bytes(8, "little"))
+        for g in genomes:
+            h.update(len(g.codes).to_bytes(8, "little"))
+            h.update(g.codes.tobytes())
+        self.key = h.hexdigest()
+        meta = os.path.join(self.dir, "meta.json")
+        stale = True
+        if os.path.exists(meta):
+            try:
+                with open(meta) as f:
+                    stale = json.load(f).get("key") != self.key
+            except (OSError, ValueError):
+                stale = True
+        if stale:
+            for fn in os.listdir(self.dir):
+                if fn.endswith((".npz", ".nwk")) or fn == "meta.json":
+                    os.unlink(os.path.join(self.dir, fn))
+            with open(meta + ".tmp", "w") as f:
+                json.dump({"key": self.key}, f)
+            os.replace(meta + ".tmp", meta)
+
+    def _p(self, name: str) -> str:
+        return self._os.path.join(self.dir, name)
+
+    def _save_npz(self, name: str, **arrs):
+        tmp = self._p(name + ".tmp.npz")
+        np.savez(tmp, **arrs)
+        self._os.replace(tmp, self._p(name))
+
+    # -- stage 2: pairwise matches + anchor scores -----------------------
+    def save_matches(self, matches: MatchArray, scores: np.ndarray):
+        self._save_npz("pairwise_matches.npz", starts=matches.starts,
+                       lengths=matches.lengths, scores=scores)
+
+    def load_matches(self):
+        p = self._p("pairwise_matches.npz")
+        if not self._os.path.exists(p):
+            return None
+        d = np.load(p)
+        return MatchArray(d["starts"], d["lengths"]), d["scores"]
+
+    # -- stage 3: guide tree consistency ---------------------------------
+    def bind_tree(self, tree) -> None:
+        """Record the guide tree; stale node checkpoints (from a
+        different tree) are dropped."""
+        from libmems_tpu.tree import write_newick
+        nwk = write_newick(tree)
+        p = self._p("guide_tree.nwk")
+        if self._os.path.exists(p):
+            with open(p) as f:
+                if f.read() == nwk:
+                    return
+            for fn in self._os.listdir(self.dir):
+                if fn.startswith("node_") and fn.endswith(".npz"):
+                    self._os.unlink(self._p(fn))
+        with open(p + ".tmp", "w") as f:
+            f.write(nwk)
+        self._os.replace(p + ".tmp", p)
+
+    # -- stage 4: per-node merged alignments -----------------------------
+    def save_node(self, ni: int, aln: NodeAlignment) -> None:
+        arrs = {"leaf_ids": np.asarray(aln.leaf_ids, dtype=np.int64),
+                "n_blocks": np.int64(len(aln.blocks))}
+        for bi, blk in enumerate(aln.blocks):
+            arrs[f"starts_{bi}"] = blk.starts
+            arrs[f"bits_{bi}"] = np.packbits(blk.bits, axis=1)
+            arrs[f"ncols_{bi}"] = np.int64(blk.bits.shape[1])
+        self._save_npz(f"node_{ni:04d}.npz", **arrs)
+
+    def load_node(self, ni: int) -> "NodeAlignment | None":
+        p = self._p(f"node_{ni:04d}.npz")
+        if not self._os.path.exists(p):
+            return None
+        d = np.load(p)
+        blocks = []
+        for bi in range(int(d["n_blocks"])):
+            ncols = int(d[f"ncols_{bi}"])
+            bits = np.unpackbits(d[f"bits_{bi}"], axis=1,
+                                 count=ncols).astype(bool)
+            blocks.append(CompactAlignment(starts=d[f"starts_{bi}"],
+                                           bits=bits))
+        return NodeAlignment(leaf_ids=[int(x) for x in d["leaf_ids"]],
+                             blocks=blocks)
+
+
 def progressive_align(genomes: list[Genome],
                       config: ProgressiveConfig | None = None
                       ) -> tuple[IntervalList, TreeNode]:
@@ -805,21 +912,35 @@ def progressive_align(genomes: list[Genome],
 
     with trace.stage("sml_build"):
         smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
-    with trace.stage("pairwise_mums"):
-        matches = find_pairwise_mums(smls)
-    with trace.stage("seed_occurrence"):
-        sols = [seed_occurrence_list(s) for s in smls]
-    codes = [g.codes for g in genomes]
 
-    # per-match score: its own leaf pair's uniqueness-scaled score
-    scores = np.zeros(len(matches), dtype=np.float64)
-    present = matches.starts != NO_MATCH
-    for i in range(G):
-        for j in range(i + 1, G):
-            sel = present[:, i] & present[:, j]
-            if sel.any():
-                sub = MatchArray(matches.starts[sel], matches.lengths[sel])
-                scores[sel] = pairwise_anchor_scores(sub, i, j, codes, sols)
+    ckpt = _ProgressiveCheckpoint(cfg.checkpoint_dir, genomes, seed) \
+        if cfg.checkpoint_dir else None
+
+    codes = [g.codes for g in genomes]
+    cached = ckpt.load_matches() if ckpt else None
+    if cached is not None:
+        matches, scores = cached
+        with trace.stage("seed_occurrence"):
+            sols = [seed_occurrence_list(s) for s in smls]
+    else:
+        with trace.stage("pairwise_mums"):
+            matches = find_pairwise_mums(smls)
+        with trace.stage("seed_occurrence"):
+            sols = [seed_occurrence_list(s) for s in smls]
+
+        # per-match score: its own leaf pair's uniqueness-scaled score
+        scores = np.zeros(len(matches), dtype=np.float64)
+        present = matches.starts != NO_MATCH
+        for i in range(G):
+            for j in range(i + 1, G):
+                sel = present[:, i] & present[:, j]
+                if sel.any():
+                    sub = MatchArray(matches.starts[sel],
+                                     matches.lengths[sel])
+                    scores[sel] = pairwise_anchor_scores(sub, i, j,
+                                                         codes, sols)
+        if ckpt:
+            ckpt.save_matches(matches, scores)
 
     dist = single_copy_distance(matches, seq_lengths)
     tree = midpoint_root(neighbor_joining(dist))
@@ -846,21 +967,28 @@ def progressive_align(genomes: list[Genome],
         # per-node alignment give the same coordinate chain)
         leaf.alignment = node_aln[id(leaf)]
     internals = alignment_order(tree)
+    if ckpt:
+        ckpt.bind_tree(tree)
     for ni, node in enumerate(internals):
-        kids = node.children
-        acc = node_aln[id(kids[0])]
-        with trace.stage("align_node"):
-            for k in kids[1:]:
-                acc = align_nodes(acc, node_aln[id(k)], matches, scores,
-                                  genomes, bp_penalty,
-                                  max_window=cfg.max_gapped_window,
-                                  codes=codes, sols=sols, seed=seed,
-                                  bp_weights=bp_weights,
-                                  cons_weights=dist,
-                                  gap_search=cfg.gap_search,
-                                  max_anchor_rounds=cfg.max_anchor_rounds,
-                                  seed_families=cfg.seed_families,
-                                  min_gap_search=cfg.min_gap_search)
+        acc = ckpt.load_node(ni) if ckpt else None
+        if acc is None:
+            kids = node.children
+            acc = node_aln[id(kids[0])]
+            with trace.stage("align_node"):
+                for k in kids[1:]:
+                    acc = align_nodes(
+                        acc, node_aln[id(k)], matches, scores,
+                        genomes, bp_penalty,
+                        max_window=cfg.max_gapped_window,
+                        codes=codes, sols=sols, seed=seed,
+                        bp_weights=bp_weights,
+                        cons_weights=dist,
+                        gap_search=cfg.gap_search,
+                        max_anchor_rounds=cfg.max_anchor_rounds,
+                        seed_families=cfg.seed_families,
+                        min_gap_search=cfg.min_gap_search)
+            if ckpt:
+                ckpt.save_node(ni, acc)
         node_aln[id(node)] = acc
         node.alignment = acc
         if cfg.validate:

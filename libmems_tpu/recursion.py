@@ -114,14 +114,23 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
         return MatchArray.empty(G)
     seq_mask = (1 << len(members)) - 1 if nway else 0
     weight = seedlib.seed_weight(seed)
+    # small fragment pairs: single-core numpy twin of the fused pair
+    # pipeline — device dispatch latency dwarfs the compute at gap-search
+    # scale (a G==2 full mask equals the pair path's exact-pair semantics)
+    from libmems_tpu.matchfind import HOST_PAIR_CUTOFF, find_pair_mums_np
+    use_host = (len(members) == 2
+                and sum(len(f) for f in frags) <= HOST_PAIR_CUTOFF)
     found: list[MatchArray] = []
     for rank in range(max(1, seed_families)):
         try:
             fam_seed = seed if rank == 0 else seedlib.get_seed(weight, rank)
         except (KeyError, ValueError):
             break
-        smls = [SortedMerList.create(f, fam_seed) for f in frags]
-        fam = find_mums(smls, seq_mask=seq_mask)
+        if use_host:
+            fam = find_pair_mums_np(frags[0], frags[1], fam_seed)
+        else:
+            smls = [SortedMerList.create(f, fam_seed) for f in frags]
+            fam = find_mums(smls, seq_mask=seq_mask)
         if len(fam):
             found.append(fam)
     if not found:

@@ -210,3 +210,23 @@ def test_seq_mask_unsatisfiable_is_empty():
     seqs = [base, mutate(rng, base, 0.02)]
     seed = seedlib.get_seed(7, 0)
     assert len(find_mums(seqs, seed, seq_mask=0b10)) == 0
+
+
+# ----------------------------------------------------------------------
+# host (numpy) pair path parity
+# ----------------------------------------------------------------------
+
+def test_find_pair_mums_np_matches_device():
+    from libmems_tpu.matchfind import find_pair_mums_np
+    from libmems_tpu.sequence import translate_dna
+    rng = np.random.default_rng(21)
+    for trial in range(4):
+        base = random_seq(rng, 3000)
+        other = mutate(rng, base, 0.02)
+        if trial % 2:
+            other = other[:1200] + rc(other[1200:2200]) + other[2200:]
+        seed = seedlib.get_seed(9, 0)
+        dev = find_mums([base, other], seed)
+        host = find_pair_mums_np(translate_dna(base),
+                                 translate_dna(other), seed)
+        assert host.key_set() == dev.key_set(), trial

@@ -263,3 +263,44 @@ def test_validate_node_alignment_rejects_corruption(trio):
             break
     with pytest.raises(ValidationError):
         validate_node_alignment(bad, trio)
+
+
+def test_progressive_checkpoint_resume(trio, tmp_path):
+    """A rerun with checkpoint_dir resumes from persisted stages and
+    reproduces the alignment; a changed input invalidates the state."""
+    from libmems_tpu.progressive import _ProgressiveCheckpoint
+    ck = str(tmp_path / "ck")
+    cfg = ProgressiveConfig(checkpoint_dir=ck, refine=False)
+    ivs1, tree1 = progressive_align(trio, cfg)
+    import os
+    files = os.listdir(ck)
+    assert "pairwise_matches.npz" in files
+    assert any(f.startswith("node_") for f in files)
+
+    # resume: node merges must come from the checkpoint (align_nodes
+    # must not run again)
+    import libmems_tpu.progressive as prog
+    orig = prog.align_nodes
+    calls = {"n": 0}
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+    prog.align_nodes = spy
+    try:
+        ivs2, tree2 = progressive_align(trio, cfg)
+    finally:
+        prog.align_nodes = orig
+    assert calls["n"] == 0
+    assert len(ivs1.intervals) == len(ivs2.intervals)
+    for a, b in zip(ivs1.intervals, ivs2.intervals):
+        assert a.render(ivs1.genomes).tobytes() == \
+            b.render(ivs2.genomes).tobytes()
+
+    # different genomes -> stale key -> checkpoints dropped
+    r = np.random.default_rng(9)
+    other = [lm.Genome.from_string(to_str(r.integers(0, 4, 4000)
+                                          .astype(np.uint8)), name="X"),
+             trio[0]]
+    _ = _ProgressiveCheckpoint(ck, other, 12345)
+    assert not any(f.startswith("node_") for f in os.listdir(ck))
