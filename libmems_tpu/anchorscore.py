@@ -21,6 +21,10 @@ win comes from vectorization, not the MXU.
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from libmems_tpu.match import MatchArray, NO_MATCH
@@ -28,32 +32,44 @@ from libmems_tpu.ops.gapped import HOXD70
 from libmems_tpu.sml import SortedMerList
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
+                            seed_len: int):
+    """Device seed-occurrence construction: run lengths over the sorted
+    keys, reorder to position order with one payload sort (scatters are
+    ~13x a sort on TPU, PERF.md), then the trailing-mean smoothing as a
+    cumsum.  Only float32[total_len] ever leaves the device — a third of
+    the bytes of fetching the (keys, positions) table."""
+    from libmems_tpu.ops import segments as seg
+
+    sc = seg.run_starts(sorted_keys >> 1)
+    runlen = seg.run_lengths(sc).astype(jnp.float32)
+    # position-order counts: sort (position, runlen); positions are a
+    # permutation of [0, n)
+    _, count_posorder = jax.lax.sort(
+        (sorted_positions, runlen), num_keys=1, is_stable=False)
+    n = sorted_keys.shape[0]
+    count = jnp.ones((total_len,), jnp.float32).at[:n].set(count_posorder)
+
+    if total_len > 1 and seed_len > 0:
+        padded = jnp.concatenate(
+            [jnp.ones((seed_len - 1,), jnp.float32), count])
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                jnp.cumsum(padded)])
+        smoothed = (csum[seed_len:] - csum[:-seed_len]) / seed_len
+        count = jnp.concatenate([smoothed[:-1], count[-1:]])
+    return jnp.maximum(count, 1.0)
+
+
 def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:
     """float32[genome_length] smoothed per-position seed frequency
-    (SeedOccurrenceList::construct + smoothFrequencies)."""
-    total_len = sml.length
-    seed_len = sml.seed_length
-    n = sml.n_windows
-    count = np.ones(total_len, dtype=np.float64)
-    if n > 0:
-        skeys = np.asarray(sml.sorted_keys) >> 1   # content only
-        spos = np.asarray(sml.sorted_positions)
-        change = np.concatenate([[True], skeys[1:] != skeys[:-1]])
-        run_id = np.cumsum(change) - 1
-        run_len = np.bincount(run_id)
-        count[spos] = run_len[run_id]
-
-    # trailing mean over seed_length positions: smoothed[i] =
-    # mean(orig[i-seed_len+1 .. i]), positions before 0 counted as 1
-    # (SeedOccurrenceList.h:76-92; the final position keeps its raw value
-    # exactly like the reference loop, which stops at Length()-1)
-    if total_len > 1 and seed_len > 0:
-        orig = count.copy()
-        padded = np.concatenate([np.ones(seed_len - 1), orig])
-        csum = np.concatenate([[0.0], np.cumsum(padded)])
-        smoothed = (csum[seed_len:] - csum[:-seed_len]) / seed_len
-        count[:-1] = smoothed[:-1]
-    return np.maximum(count, 1.0).astype(np.float32)
+    (SeedOccurrenceList::construct + smoothFrequencies,
+    libMems/SeedOccurrenceList.h:22-92)."""
+    if sml.n_windows == 0:
+        return np.ones(sml.length, dtype=np.float32)
+    return np.asarray(_seed_occurrence_device(
+        sml.sorted_keys, sml.sorted_positions, sml.length,
+        sml.seed_length))
 
 
 def pairwise_anchor_scores(matches: MatchArray, gi: int, gj: int,

@@ -1039,13 +1039,217 @@ def find_mums_checkpointed(genomes_or_smls, state_path: str,
     return finalize(acc)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fused_pairwise_pipeline(seed_len: int, chunk: int, G: int,
+                             pos_bits: int, rid_bits: int,
+                             extend_capacity: int, repeat_limit: int,
+                             keys_posorder, keys, gid, pos,
+                             gen_off, gen_cnt):
+    """PairwiseMatchFinder semantics fused on device: per-genome-unique
+    seed occurrences -> all-genome-pair expansion as (G-1) shifted
+    neighbor compares over the kept-occurrence compaction -> one
+    diagonal-cluster sort -> binary-search compaction -> span-seeded
+    extension -> dedup.  Only the final [EC, G] rows ever leave the
+    device (the host-orchestrated twin fetched the whole seed table —
+    hundreds of MB at genome scale; see PERF.md transfer rules).
+
+    Layout requirements (checked by the caller):
+      rid(rid_bits) | gid(6) | pos(pos_bits) | strand(1)  <= 63 bits
+      fwd(1) | pair_id(2*ceil(log2 G)) | delta(pos_bits+2) | posA(pos_bits)
+                                                           <= 64 bits
+    """
+    EC = extend_capacity
+    u = jnp.uint64
+    n = keys.shape[0]
+    gid_bits = 6
+    pair_bits = 2 * max(G - 1, 1).bit_length()
+
+    content, gids, poss, strand = _sorted_seed_table(keys, gid, pos)
+    unique_occ, run_id = _unique_occ_flags(content, gids, poss, strand,
+                                           repeat_limit)
+
+    # compact kept occurrences to the front, preserving table order
+    idx_bits = (n + 1).bit_length()
+    ck = ((~unique_occ).astype(u) << u(idx_bits)) \
+        | jnp.arange(n, dtype=u)
+    payload = (run_id.astype(u) << u(gid_bits + pos_bits + 1)) \
+        | (gids.astype(u) << u(pos_bits + 1)) \
+        | (poss.astype(u) << u(1)) | strand.astype(u)
+    _, payload = jax.lax.sort((ck, payload), num_keys=1, is_stable=False)
+    kept_count = jnp.sum(unique_occ.astype(jnp.int32))
+
+    rid_mask = u((1 << rid_bits) - 1)
+    rid = (payload >> u(gid_bits + pos_bits + 1)) & rid_mask
+    gidc = ((payload >> u(pos_bits + 1))
+            & u((1 << gid_bits) - 1)).astype(jnp.int32)
+    posc = ((payload >> u(1))
+            & u((1 << pos_bits) - 1)).astype(jnp.int32)
+    strc = (payload & u(1)).astype(jnp.int32)
+
+    # (G-1) shifted compares: within a surviving run the kept rows are
+    # contiguous and gid-sorted (<=1 per genome), so every unordered
+    # genome pair of the run appears at exactly one shift
+    row = jnp.arange(n, dtype=jnp.int32)
+    in_kept = row < kept_count
+    cw_parts = []
+    bias = 1 << (pos_bits)
+    for s in range(1, G):
+        def sh(x, fill):
+            return jnp.concatenate(
+                [x[s:], jnp.full((s,), fill, x.dtype)])
+        rid_j = sh(rid, ~u(0))
+        valid = in_kept & (row + s < kept_count) & (rid == rid_j)
+        gid_b = sh(gidc, 0)
+        pos_b = sh(posc, 0)
+        str_b = sh(strc, 0)
+        fwd = strc == str_b
+        pair_id = (gidc * G + gid_b).astype(u)
+        delta = jnp.where(fwd, pos_b - posc + bias, pos_b + posc)
+        wrd = (fwd.astype(u) << u(pair_bits + 2 * pos_bits + 2)) \
+            | (pair_id << u(2 * pos_bits + 2)) \
+            | (delta.astype(u) << u(pos_bits)) | posc.astype(u)
+        cw_parts.append(jnp.where(valid, wrd, ~u(0)))
+    cw = jax.lax.sort(jnp.concatenate(cw_parts))
+
+    inf = ~jnp.zeros((1,), u)
+    valid_c = cw != ~u(0)
+    s_posA = (cw & u((1 << pos_bits) - 1)).astype(jnp.int32)
+    head = cw >> u(pos_bits)
+    prev_head = jnp.concatenate([inf, head[:-1]])
+    prev_posA = jnp.concatenate([jnp.zeros((1,), jnp.int32), s_posA[:-1]])
+    rep = valid_c & ((head != prev_head)
+                     | (s_posA - prev_posA > seed_len))
+    n_cands = jnp.sum(valid_c.astype(jnp.int32))
+    n_reps = jnp.sum(rep.astype(jnp.int32))
+
+    # binary-search compaction of representatives (PERF.md rules 6/8)
+    rank = jnp.cumsum(rep.astype(jnp.int32))
+    src = jnp.searchsorted(rank, jnp.arange(1, EC + 1, dtype=jnp.int32),
+                           side="left", method="scan_unrolled")
+    e_valid = jnp.arange(EC) < n_reps
+    src = jnp.minimum(src, cw.shape[0] - 1)
+    rep_cw = cw[src]
+    r_posA = (rep_cw & u((1 << pos_bits) - 1)).astype(jnp.int32)
+    r_delta = ((rep_cw >> u(pos_bits))
+               & u((1 << (pos_bits + 2)) - 1)).astype(jnp.int32)
+    r_pair = ((rep_cw >> u(2 * pos_bits + 2))
+              & u((1 << pair_bits) - 1)).astype(jnp.int32)
+    r_fwd = ((rep_cw >> u(pair_bits + 2 * pos_bits + 2)) & u(1)) == 1
+    r_a = jnp.clip(r_pair // G, 0, G - 1)   # invalid rows decode to
+    r_b = jnp.clip(r_pair % G, 0, G - 1)    # garbage; present masks them
+
+    # cluster extent seeds the extension length (probe only the tails)
+    next_src = jnp.concatenate([src[1:], jnp.full((1,), cw.shape[0],
+                                                  jnp.int32)])
+    end_row = jnp.minimum(next_src, n_cands) - 1
+    end_row = jnp.clip(end_row, 0, cw.shape[0] - 1)
+    last_posA = (cw[end_row] & u((1 << pos_bits) - 1)).astype(jnp.int32)
+    last_posA = jnp.clip(last_posA, r_posA, None)
+    span = last_posA - r_posA
+    lengths0 = jnp.where(e_valid, span + seed_len, seed_len)
+
+    posB_rep = jnp.where(r_fwd, r_delta - bias + r_posA, r_delta - r_posA)
+    leftB = jnp.where(r_fwd, posB_rep, r_delta - last_posA)
+    leftB = jnp.maximum(leftB, 0)
+
+    rows_i = jnp.arange(EC, dtype=jnp.int32)
+    lefts = jnp.zeros((EC, G), jnp.int32) \
+        .at[rows_i, r_a].set(r_posA) \
+        .at[rows_i, r_b].set(leftB)
+    present = (jnp.zeros((EC, G), bool)
+               .at[rows_i, r_a].set(True)
+               .at[rows_i, r_b].set(True)) & e_valid[:, None]
+    is_fwd = jnp.ones((EC, G), bool).at[rows_i, r_b].set(r_fwd)
+    lefts = jnp.where(present, lefts, 0)
+    lefts, lengths = extend_matches(
+        keys_posorder, seed_len, chunk,
+        jnp.broadcast_to(gen_off, (EC, G)),
+        jnp.broadcast_to(gen_cnt, (EC, G)),
+        lefts, present, is_fwd, lengths0)
+    sign = jnp.where(is_fwd, 1, -1)
+    out_starts = jnp.where(present, sign * (lefts + 1), 0)
+
+    # dedup: lexicographic sort of (starts..., length), mark first of run
+    sort_ops = tuple(out_starts[:, g] for g in range(G)) + (
+        lengths, (~e_valid).astype(jnp.int32))
+    sorted_ops = jax.lax.sort(sort_ops, num_keys=G + 2, is_stable=False)
+    srows = jnp.stack(sorted_ops[:G + 1], axis=1)
+    svalid = sorted_ops[G + 1] == 0
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(srows[1:] != srows[:-1], axis=1)])
+    uniq = svalid & first
+    return srows[:, :G], srows[:, G], uniq, n_cands, n_reps
+
+
+# expansion-table budget for the fused pairwise path: (G-1) * n rows
+_PAIRWISE_FUSED_MAX_ROWS = int(os.environ.get(
+    "LIBMEMS_TPU_PAIRWISE_FUSED_MAX_ROWS", 1 << 28))
+
+
 def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
                        repeat_limit: int = MER_REPEAT_LIMIT,
-                       extend: bool = True) -> MatchArray:
+                       extend: bool = True,
+                       extend_capacity: int = 1 << 14) -> MatchArray:
     """Find all pairwise MUMs from per-genome-unique seeds
     (PairwiseMatchFinder::EnumerateMatches equivalent,
-    libMems/PairwiseMatchFinder.cpp:37-71) — the progressiveMauve seeder."""
+    libMems/PairwiseMatchFinder.cpp:37-71) — the progressiveMauve seeder.
+
+    Default path is the fused device pipeline; the host orchestration
+    below remains as fallback for layouts that exceed the packed-word
+    bit budget and as the parity oracle."""
     smls, seed = _as_smls(genomes_or_smls, seed)
+    G = len(smls)
+    total = sum(s.n_windows for s in smls)
+    pos_bits = max(max((s.n_windows for s in smls), default=1)
+                   .bit_length(), 8)
+    rid_bits = (2 * total + 1).bit_length()   # covers bucket padding
+    fits = (rid_bits + 6 + pos_bits + 1 <= 63
+            and 1 + 2 * max(G - 1, 1).bit_length()
+            + 2 * pos_bits + 2 + pos_bits <= 64
+            and G <= 63)
+    if extend and fits and (G - 1) * total <= _PAIRWISE_FUSED_MAX_ROWS \
+            and total > 0 and G <= 62:
+        from libmems_tpu.sml import _bucket_len
+        seed_len = smls[0].seed_length
+        chunk = max(seed_len, 256)
+        keys_posorder = jnp.concatenate([s.keys for s in smls])
+        # bucket-pad the sorted-table input so genome-size variations
+        # share compile-cache entries; sentinel rows (all-ones content,
+        # fake genome 62) form their own runs and can never pair
+        pad = _bucket_len(total) - total
+        keys, gid, pos = (jnp.concatenate(x) for x in zip(*(
+            [(s.keys, jnp.full((s.n_windows,), i, jnp.int32),
+              jnp.arange(s.n_windows, dtype=jnp.int32))
+             for i, s in enumerate(smls)]
+            + ([(~jnp.zeros((pad,), smls[0].keys.dtype),
+                 jnp.full((pad,), 62, jnp.int32),
+                 jnp.zeros((pad,), jnp.int32))] if pad else []))))
+        cnts = jnp.asarray(np.array([s.n_windows for s in smls],
+                                    np.int32))
+        offs = jnp.asarray(np.concatenate(
+            [[0], np.cumsum([s.n_windows for s in smls])[:-1]]
+        ).astype(np.int32))
+        ec = min(extend_capacity, 1 << (max(total, 2) - 1).bit_length())
+        while True:
+            starts, lengths, valid, _, n_reps = _fused_pairwise_pipeline(
+                seed_len, chunk, G, pos_bits, rid_bits, ec,
+                repeat_limit, keys_posorder, keys, gid, pos, offs, cnts)
+            n_reps = int(n_reps)
+            if n_reps <= ec:
+                break
+            ec = 1 << (n_reps - 1).bit_length()
+        v = np.asarray(valid)
+        out = MatchArray(np.asarray(starts)[v].astype(np.int64),
+                         np.asarray(lengths)[v].astype(np.int64))
+        return out.dedup().canonical_sort()
+    return _find_pairwise_mums_host(smls, repeat_limit, extend)
+
+
+def _find_pairwise_mums_host(smls, repeat_limit: int = MER_REPEAT_LIMIT,
+                             extend: bool = True) -> MatchArray:
+    """Host-orchestrated PairwiseMatchFinder (fetches the whole seed
+    table; kept as the fused path's fallback and parity oracle)."""
     G = len(smls)
     content, gid, pos, strand = _seed_table(smls)
     unique_occ, run_id = _unique_occ_flags(content, gid, pos, strand,

@@ -230,3 +230,22 @@ def test_find_pair_mums_np_matches_device():
         host = find_pair_mums_np(translate_dna(base),
                                  translate_dna(other), seed)
         assert host.key_set() == dev.key_set(), trial
+
+
+def test_fused_pairwise_matches_host_orchestration():
+    """The fused device PairwiseMatchFinder pipeline must be row-identical
+    to the host-orchestrated twin (which fetches the whole seed table)."""
+    from libmems_tpu.matchfind import _find_pairwise_mums_host, _as_smls
+    rng = np.random.default_rng(31)
+    base = random_seq(rng, 1500)
+    for trial in range(3):
+        seqs = [base, mutate(rng, base, 0.02), mutate(rng, base, 0.05)]
+        if trial == 1:
+            seqs.append(base[:700] + rc(base[700:1100]) + base[1100:])
+        if trial == 2:
+            # in-genome repeat: those seeds drop out of that genome only
+            seqs[1] = seqs[1][:300] + seqs[1][300:600] + seqs[1][300:]
+        smls, seed = _as_smls(seqs, seedlib.get_seed(9, 0))
+        dev = find_pairwise_mums(smls)
+        host = _find_pairwise_mums_host(smls)
+        assert dev.key_set() == host.key_set(), trial

@@ -304,3 +304,26 @@ def test_progressive_checkpoint_resume(trio, tmp_path):
              trio[0]]
     _ = _ProgressiveCheckpoint(ck, other, 12345)
     assert not any(f.startswith("node_") for f in os.listdir(ck))
+
+
+def test_seed_occurrence_device_matches_numpy():
+    from libmems_tpu.sml import SortedMerList
+    r = np.random.default_rng(3)
+    codes = r.integers(0, 4, 4000).astype(np.uint8)
+    codes[900:1000] = codes[:100]   # repeat
+    sml = SortedMerList.create(codes, seedlib.get_seed(9, 0))
+    sol = seed_occurrence_list(sml)
+    # numpy oracle of SeedOccurrenceList::construct + smoothing
+    total_len, seed_len = sml.length, sml.seed_length
+    count = np.ones(total_len, dtype=np.float64)
+    skeys = np.asarray(sml.sorted_keys) >> 1
+    spos = np.asarray(sml.sorted_positions)
+    change = np.concatenate([[True], skeys[1:] != skeys[:-1]])
+    run_id = np.cumsum(change) - 1
+    count[spos] = np.bincount(run_id)[run_id]
+    padded = np.concatenate([np.ones(seed_len - 1), count])
+    csum = np.concatenate([[0.0], np.cumsum(padded)])
+    sm = (csum[seed_len:] - csum[:-seed_len]) / seed_len
+    count[:-1] = sm[:-1]
+    want = np.maximum(count, 1.0).astype(np.float32)
+    assert np.abs(sol - want).max() < 1e-3
