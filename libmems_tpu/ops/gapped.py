@@ -183,6 +183,24 @@ def _gotoh_block_ptrs(ck_h, ck_f, a_blk, b, b_len, gap_open: int,
     return jnp.transpose(ptrs, (1, 0, 2))
 
 
+@jax.jit
+def pack_ptrs(p):
+    """Pack 4-bit pointer cells two per byte for the device->host fetch
+    (pointer values use bits 0-3 only: state 0-2 + E/F extend bits)."""
+    if p.shape[2] % 2:
+        p = jnp.concatenate(
+            [p, jnp.zeros(p.shape[:2] + (1,), jnp.uint8)], axis=2)
+    return p[:, :, 0::2] | (p[:, :, 1::2] << 4)
+
+
+def unpack_ptrs(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host inverse of pack_ptrs."""
+    out = np.empty(packed.shape[:2] + (packed.shape[2] * 2,), np.uint8)
+    out[:, :, 0::2] = packed & 0xF
+    out[:, :, 1::2] = packed >> 4
+    return out[:, :, :width]
+
+
 def traceback_blocks(fetch_block, nb: int, K: int, a_len: np.ndarray,
                      b_len: np.ndarray):
     """Batched affine traceback over checkpointed pointer blocks.
@@ -310,10 +328,11 @@ def align_pairs(pairs: list[tuple[np.ndarray, np.ndarray]],
         score, ck_h, ck_f = _gotoh_forward_ckpt(
             aj, bj, jnp.asarray(a_len), blj, gap_open, gap_extend, K)
 
-        def fetch(bi, aj=aj, bj=bj, blj=blj, ck_h=ck_h, ck_f=ck_f, K=K):
-            return np.asarray(_gotoh_block_ptrs(
+        def fetch(bi, aj=aj, bj=bj, blj=blj, ck_h=ck_h, ck_f=ck_f, K=K,
+                  N=N):
+            return unpack_ptrs(np.asarray(pack_ptrs(_gotoh_block_ptrs(
                 ck_h[bi], ck_f[bi], aj[:, bi * K:(bi + 1) * K], bj, blj,
-                gap_open, gap_extend))
+                gap_open, gap_extend))), N + 1)
 
         tb = traceback_blocks(fetch, Mp // K, K, a_len, b_len)
         for row, idx in enumerate(idxs):

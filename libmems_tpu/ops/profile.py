@@ -206,11 +206,12 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
         ext_p = gap_extend * (1.0 - pj[:, :, GAP_CODE])
 
         def fetch(bi, pj=pj, qj=qj, qlj=qlj, ck_h=ck_h, ck_f=ck_f,
-                  ext_p=ext_p, K=K):
-            return np.asarray(profile_block_ptrs(
+                  ext_p=ext_p, K=K, N=N):
+            from libmems_tpu.ops.gapped import pack_ptrs, unpack_ptrs
+            return unpack_ptrs(np.asarray(pack_ptrs(profile_block_ptrs(
                 ck_h[bi], ck_f[bi], pj[:, bi * K:(bi + 1) * K],
                 ext_p[:, bi * K:(bi + 1) * K], qj, qlj,
-                gap_open, gap_extend))
+                gap_open, gap_extend))), N + 1)
 
         tb = traceback_blocks(fetch, Mp // K, K, p_len, q_len)
         for r, k in enumerate(idxs):
