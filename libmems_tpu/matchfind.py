@@ -1088,28 +1088,31 @@ def _fused_pairwise_pipeline(seed_len: int, chunk: int, G: int,
 
     # (G-1) shifted compares: within a surviving run the kept rows are
     # contiguous and gid-sorted (<=1 per genome), so every unordered
-    # genome pair of the run appears at exactly one shift
+    # genome pair of the run appears at exactly one shift.  A fori_loop
+    # keeps the HLO O(1) in G (an unrolled version compiled ~10 minutes
+    # on the remote-TPU backend).
     row = jnp.arange(n, dtype=jnp.int32)
     in_kept = row < kept_count
-    cw_parts = []
     bias = 1 << (pos_bits)
-    for s in range(1, G):
-        def sh(x, fill):
-            return jnp.concatenate(
-                [x[s:], jnp.full((s,), fill, x.dtype)])
-        rid_j = sh(rid, ~u(0))
-        valid = in_kept & (row + s < kept_count) & (rid == rid_j)
-        gid_b = sh(gidc, 0)
-        pos_b = sh(posc, 0)
-        str_b = sh(strc, 0)
+
+    def shift_body(s, cwbuf):
+        rid_j = jnp.roll(rid, -s)
+        gid_b = jnp.roll(gidc, -s)
+        pos_b = jnp.roll(posc, -s)
+        str_b = jnp.roll(strc, -s)
+        valid = in_kept & (row + s < kept_count) & (row + s < n) \
+            & (rid == rid_j)
         fwd = strc == str_b
         pair_id = (gidc * G + gid_b).astype(u)
         delta = jnp.where(fwd, pos_b - posc + bias, pos_b + posc)
         wrd = (fwd.astype(u) << u(pair_bits + 2 * pos_bits + 2)) \
             | (pair_id << u(2 * pos_bits + 2)) \
             | (delta.astype(u) << u(pos_bits)) | posc.astype(u)
-        cw_parts.append(jnp.where(valid, wrd, ~u(0)))
-    cw = jax.lax.sort(jnp.concatenate(cw_parts))
+        return cwbuf.at[s - 1].set(jnp.where(valid, wrd, ~u(0)))
+
+    cw0 = jnp.zeros((G - 1, n), u)
+    cw = jax.lax.fori_loop(1, G, shift_body, cw0).reshape(-1)
+    cw = jax.lax.sort(cw)
 
     inf = ~jnp.zeros((1,), u)
     valid_c = cw != ~u(0)
