@@ -36,7 +36,7 @@ from libmems_tpu.sml import SortedMerList, create_smls
 from libmems_tpu.match import MatchArray
 from libmems_tpu.matchfind import find_mums, find_pairwise_mums, find_mums_device
 from libmems_tpu.aligner import AlignerConfig, align
-from libmems_tpu.interval import Interval, IntervalList, write_xmfa, read_xmfa
+from libmems_tpu.interval import Interval, IntervalList, write_xmfa, read_xmfa, read_xmfa_intervals
 from libmems_tpu.tree import TreeNode, neighbor_joining, midpoint_root, \
     parse_newick, write_newick
 from libmems_tpu.distance import distance_matrix, identity_matrix, \
@@ -67,6 +67,7 @@ __all__ = [
     "IntervalList",
     "write_xmfa",
     "read_xmfa",
+    "read_xmfa_intervals",
     "TreeNode",
     "neighbor_joining",
     "midpoint_root",

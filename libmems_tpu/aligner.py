@@ -241,13 +241,16 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
 
     if cfg.recursive:
         from libmems_tpu.recursion import recursive_anchor_fill
-        mums, members = recursive_anchor_fill(
-            mums, members, genomes, seed,
-            min_gap=cfg.min_recursive_gap,
-            seed_families=cfg.seed_families)
+        with trace.stage("recursion"):
+            mums, members = recursive_anchor_fill(
+                mums, members, genomes, seed,
+                min_gap=cfg.min_recursive_gap,
+                seed_families=cfg.seed_families)
 
     from libmems_tpu.gapalign import align_lcbs
-    intervals = align_lcbs(mums, members, genomes, tree,
-                           max_window=cfg.max_gapped_window)
-    intervals = add_unaligned_intervals(intervals, genomes)
+    with trace.stage("gapped_align"):
+        intervals = align_lcbs(mums, members, genomes, tree,
+                               max_window=cfg.max_gapped_window)
+    with trace.stage("unaligned_intervals"):
+        intervals = add_unaligned_intervals(intervals, genomes)
     return IntervalList(intervals, list(genomes)), mums

@@ -43,22 +43,29 @@ def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
     from libmems_tpu.ops import segments as seg
 
     sc = seg.run_starts(sorted_keys >> 1)
-    runlen = seg.run_lengths(sc).astype(jnp.float32)
+    runlen = seg.run_lengths(sc).astype(jnp.int32)
     # position-order counts: sort (position, runlen); positions are a
     # permutation of [0, n)
     _, count_posorder = jax.lax.sort(
         (sorted_positions, runlen), num_keys=1, is_stable=False)
     n = sorted_keys.shape[0]
-    count = jnp.ones((total_len,), jnp.float32).at[:n].set(count_posorder)
+    count = jnp.ones((total_len,), jnp.int32).at[:n].set(count_posorder)
 
     if total_len > 1 and seed_len > 0:
+        # exact integer prefix sum: a float32 cumsum loses integer
+        # precision past ~2^24 (≥16 Mbp genomes) and the windowed
+        # difference csum[i+s]-csum[i] then cancels catastrophically
         padded = jnp.concatenate(
-            [jnp.ones((seed_len - 1,), jnp.float32), count])
-        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                jnp.cumsum(padded)])
-        smoothed = (csum[seed_len:] - csum[:-seed_len]) / seed_len
-        count = jnp.concatenate([smoothed[:-1], count[-1:]])
-    return jnp.maximum(count, 1.0)
+            [jnp.ones((seed_len - 1,), jnp.int32), count])
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                jnp.cumsum(padded.astype(jnp.int64))])
+        smoothed = ((csum[seed_len:] - csum[:-seed_len])
+                    .astype(jnp.float32) / seed_len)
+        countf = jnp.concatenate([smoothed[:-1],
+                                  count[-1:].astype(jnp.float32)])
+    else:
+        countf = count.astype(jnp.float32)
+    return jnp.maximum(countf, 1.0)
 
 
 def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:

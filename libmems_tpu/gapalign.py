@@ -128,30 +128,34 @@ def align_lcbs(matches: MatchArray, members: list[np.ndarray],
                max_window: int = MAX_ALIGNMENT_LENGTH) -> list[Interval]:
     """Gapped-align every LCB's inter-anchor windows in one batch
     (AlignLCBInParallel equivalent)."""
+    from libmems_tpu import trace
     G = len(genomes)
-    planned = [gapped_interval_from_matches(matches, idx, genomes, tree,
-                                            max_window)
-               for idx in members]
+    with trace.stage("gap_plan"):
+        planned = [gapped_interval_from_matches(matches, idx, genomes,
+                                                tree, max_window)
+                   for idx in members]
     all_windows = [w for _, ws in planned for w in ws]
     if all_windows:
         code_lists = [[w[2][g] for g in range(G)] for w in all_windows]
-        aligned = align_window_group(code_lists, tree)
+        with trace.stage("gap_dp"):
+            aligned = align_window_group(code_lists, tree)
     else:
         aligned = []
 
-    intervals = []
-    w_base = 0
-    for segments, ws in planned:
-        blocks: list[Block] = []
-        for seg in segments:
-            if isinstance(seg, Block):
-                blocks.append(seg)
-                continue
-            _, wi = seg
-            gap_starts, gap_lens, _, frag_ascii = ws[wi]
-            rows = aligned[w_base + wi]
-            ascii_rows = _rows_to_ascii_block(rows, frag_ascii)
-            blocks.append(Block(gap_starts, gap_lens, rows=ascii_rows))
-        w_base += len(ws)
-        intervals.append(Interval(blocks=blocks, seq_count=G))
+    with trace.stage("gap_splice"):
+        intervals = []
+        w_base = 0
+        for segments, ws in planned:
+            blocks: list[Block] = []
+            for seg in segments:
+                if isinstance(seg, Block):
+                    blocks.append(seg)
+                    continue
+                _, wi = seg
+                gap_starts, gap_lens, _, frag_ascii = ws[wi]
+                rows = aligned[w_base + wi]
+                ascii_rows = _rows_to_ascii_block(rows, frag_ascii)
+                blocks.append(Block(gap_starts, gap_lens, rows=ascii_rows))
+            w_base += len(ws)
+            intervals.append(Interval(blocks=blocks, seq_count=G))
     return intervals

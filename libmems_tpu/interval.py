@@ -317,6 +317,67 @@ def write_xmfa(path_or_fh, ivs: IntervalList, line_width: int = 80):
             fh.close()
 
 
+def read_xmfa_intervals(path_or_fh, genomes: list[Genome] | None = None
+                        ) -> IntervalList:
+    """Parse an XMFA file back into the object model: one Interval per
+    XMFA block, each holding a single explicit-rows Block
+    (IntervalList's XMFA reader, libMems/IntervalList.h:445-616).
+
+    Re-entering an alignment from its XMFA serialization enables
+    restart-from-XMFA workflows (refinement, backbone detection,
+    reformatting) and interop with external Mauve tooling.  ``genomes``
+    optionally attaches sequence backing (and is used for the genome
+    count); otherwise placeholder Genomes are synthesized from the
+    alignment rows themselves.
+    """
+    blocks = read_xmfa(path_or_fh)
+    G = len(genomes) if genomes is not None else (
+        1 + max((max(b["seqs"]) for b in blocks if b["seqs"]),
+                default=-1))
+    intervals: list[Interval] = []
+    # reconstruct sequence backing when none is provided
+    recon: list[dict[int, np.ndarray]] = [{} for _ in range(G)]
+    for b in blocks:
+        starts = np.zeros(G, dtype=np.int64)
+        lengths = np.zeros(G, dtype=np.int64)
+        texts = {}
+        C = 0
+        for g, rec in b["seqs"].items():
+            lo, hi, strand, text = rec
+            texts[g] = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+            C = max(C, len(texts[g]))
+            if lo == 0 and hi == 0:
+                continue
+            starts[g] = -lo if strand == "-" else lo
+            lengths[g] = hi - lo + 1
+        if C == 0:
+            continue
+        rows = np.full((G, C), GAP, dtype=np.uint8)
+        for g, t in texts.items():
+            rows[g, : len(t)] = t
+        # drop header-only blocks with no aligned content
+        if not (starts != 0).any():
+            continue
+        for g in range(G):
+            if starts[g] != 0 and genomes is None:
+                chars = rows[g][rows[g] != GAP]
+                if starts[g] < 0:
+                    chars = revcomp_ascii(chars)
+                recon[g][abs(int(starts[g]))] = chars
+        intervals.append(Interval(blocks=[Block(starts, lengths,
+                                                rows=rows)], seq_count=G))
+    if genomes is None:
+        genomes = []
+        for g in range(G):
+            length = max((lo + len(ch) - 1
+                          for lo, ch in recon[g].items()), default=0)
+            arr = np.full(length, ord("N"), dtype=np.uint8)
+            for lo, ch in recon[g].items():
+                arr[lo - 1: lo - 1 + len(ch)] = ch
+            genomes.append(Genome(name=f"seq{g + 1}", ascii=arr))
+    return IntervalList(intervals, list(genomes))
+
+
 def read_xmfa(path_or_fh) -> list[dict]:
     """Parse an XMFA file into a list of blocks:
     [{"seqs": {seq_index: (start, end, strand, text)}, ...}]

@@ -80,8 +80,11 @@ def _mum_seed_flags(content, gid, pos, strand, repeat_tolerance: int,
     max_subrun = seg.segment_max_broadcast(subrun_len, sc)
     ngids = seg.segment_sum_broadcast(scg.astype(jnp.int32), sc)
     runlen = seg.run_lengths(sc)
+    # ambiguity-masked windows carry the all-ones sentinel key; their
+    # content (~0 >> 1) is unreachable by real seeds and never matches
+    not_sent = content != (~jnp.zeros((), content.dtype) >> 1)
     keep_run = (ngids >= 2) & (max_subrun <= repeat_tolerance + 1) \
-        & (runlen <= repeat_limit)
+        & (runlen <= repeat_limit) & not_sent
     kept_occ = scg & keep_run
     rid_at_start = jnp.cumsum((sc & keep_run).astype(jnp.int32)) - 1
     row_id = rid_at_start[seg.start_index(sc)]
@@ -101,7 +104,8 @@ def _unique_occ_flags(content, gid, pos, strand, repeat_limit: int):
     scg = seg.run_starts(content, gid)
     subrun_len = seg.run_lengths(scg)
     runlen = seg.run_lengths(sc)
-    unique_occ = (subrun_len == 1) & (runlen <= repeat_limit)
+    not_sent = content != (~jnp.zeros((), content.dtype) >> 1)
+    unique_occ = (subrun_len == 1) & (runlen <= repeat_limit) & not_sent
     run_id = jnp.cumsum(sc.astype(jnp.int32)) - 1
     return unique_occ, run_id
 
@@ -529,6 +533,12 @@ def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
     g1 = nxt(gid, 1)
     # exact-pair run: len 2, one occurrence per genome (row i = genome 0)
     surv = (c == c1) & (c != cp) & (c1 != c2) & (gid == 0) & (g1 == 1)
+    if not presorted:
+        # ambiguity/pad sentinel content (key-dtype ~0 >> 1) never
+        # survives — a lone masked window per genome would otherwise
+        # mimic an exact pair
+        sent_c = (~jnp.zeros((), keys_a.dtype) >> 1).astype(u)
+        surv = surv & (c != sent_c)
 
     posA = pos
     posB = nxt(pos, 1)
@@ -1315,7 +1325,8 @@ HOST_PAIR_CUTOFF = int(os.environ.get("LIBMEMS_TPU_HOST_PAIR_CUTOFF",
 
 
 def find_pair_mums_np(codes_a: np.ndarray, codes_b: np.ndarray,
-                      seed: int) -> MatchArray:
+                      seed: int, ambig_a: np.ndarray | None = None,
+                      ambig_b: np.ndarray | None = None) -> MatchArray:
     """Single-core numpy twin of the fused pair pipeline (identical
     algorithm: pack -> sort -> exact-pair neighbor flags -> diagonal
     cluster sort -> representative compaction -> span-seeded extension
@@ -1325,12 +1336,24 @@ def find_pair_mums_np(codes_a: np.ndarray, codes_b: np.ndarray,
     from libmems_tpu.ops.mers import canonical_seed_keys_np
 
     seed_len = seedlib.seed_length(seed)
-    ka = canonical_seed_keys_np(codes_a, seed).astype(np.uint64)
-    kb = canonical_seed_keys_np(codes_b, seed).astype(np.uint64)
+    km_a = canonical_seed_keys_np(codes_a, seed, ambig_a)
+    km_b = canonical_seed_keys_np(codes_b, seed, ambig_b)
+    key_sent = np.uint64(~km_a.dtype.type(0))  # masked-window sentinel
+    ka = km_a.astype(np.uint64)
+    kb = km_b.astype(np.uint64)
     na, nb = len(ka), len(kb)
     if na == 0 or nb == 0:
         return MatchArray.empty(2)
     pb = max(int(max(na, nb)).bit_length(), 8)
+    if 2 * seedlib.seed_weight(seed) + 2 + pb > 64:
+        # packed word would overflow (same budget as pair_fast_path_ok,
+        # minus the gid bit the np path keeps separate): distinct seeds
+        # would silently collide — use the general device path instead
+        from libmems_tpu.sml import SortedMerList
+        return find_mums([SortedMerList.create(codes_a, seed,
+                                               ambig=ambig_a),
+                          SortedMerList.create(codes_b, seed,
+                                               ambig=ambig_b)])
 
     def pack(keys, gid):
         content = keys >> np.uint64(1)
@@ -1349,7 +1372,9 @@ def find_pair_mums_np(codes_a: np.ndarray, codes_b: np.ndarray,
     c2 = np.concatenate([c[2:], [~np.uint64(0)] * 2])
     cp = np.concatenate([[~np.uint64(0)], c[:-1]])
     g1 = np.concatenate([gid[1:], [np.uint64(0)]])
-    surv = (c == c1) & (c != cp) & (c1 != c2) & (gid == 0) & (g1 == 1)
+    sent_c = key_sent >> np.uint64(1)
+    surv = (c == c1) & (c != cp) & (c1 != c2) & (gid == 0) & (g1 == 1) \
+        & (c != sent_c)
     if not surv.any():
         return MatchArray.empty(2)
     posA = pos[surv]
@@ -1393,6 +1418,9 @@ def find_pair_mums_np(codes_a: np.ndarray, codes_b: np.ndarray,
                              ahead_q if side == 0 else back_q)
                 validq = (q >= 0) & (q < cnts[g])
                 kq = keys_all[g][np.clip(q, 0, cnts[g] - 1)]
+                # masked windows (sentinel ~0, low bit may be parity-
+                # flipped below) never match
+                validq &= (kq | np.uint64(1)) != (key_sent | np.uint64(1))
                 kq = kq ^ fwd_g[:, None].astype(kq.dtype)
                 if g == 0:
                     refk = kq

@@ -94,8 +94,16 @@ def create_file_sml(genome_or_codes, seed: int, out_path: str,
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_lib_err}")
-    codes = genome_or_codes.codes if isinstance(genome_or_codes, Genome) \
-        else np.asarray(genome_or_codes, dtype=np.uint8)
+    if isinstance(genome_or_codes, Genome):
+        codes = genome_or_codes.codes
+        if genome_or_codes.ambig.any():
+            # positions with ambiguous bases carry byte 0xFF in the
+            # streamed codes file; the native sorter sentinel-keys every
+            # window overlapping one (maskNNNNN, libMems/FileSML.h:135)
+            codes = np.where(genome_or_codes.ambig,
+                             np.uint8(0xFF), codes)
+    else:
+        codes = np.asarray(genome_or_codes, dtype=np.uint8)
     if scratch_dir is None:
         scratch_dir = os.path.dirname(os.path.abspath(out_path)) or "."
     with tempfile.NamedTemporaryFile(dir=scratch_dir, suffix=".codes",

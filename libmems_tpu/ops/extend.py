@@ -173,8 +173,14 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
         for g in range(1, G):
             ref_keys = jnp.where(ref_idx[:, None] == g, keys_g[g], ref_keys)
         match = active[:, None]
+        # sentinel keys (boundary pad AND ambiguity-masked windows; both
+        # carry ~0, whose low bit may be flipped by the parity XOR) can
+        # never participate in a match — without this, two N-runs at
+        # compatible diagonals would extend through each other
+        one = jnp.ones((), keys_concat.dtype)
         for g in range(G):
-            ok = valid_g[g] & (keys_g[g] == ref_keys)
+            not_sent = (keys_g[g] | one) != fill
+            ok = valid_g[g] & (keys_g[g] == ref_keys) & not_sent
             match = match & jnp.where(present[:, g:g + 1], ok, True)
 
         # furthest offset reachable with gaps <= seed_len between matches

@@ -807,10 +807,12 @@ class _ProgressiveCheckpoint:
     MemHash::WriteFile/LoadFile match-list reload, MemHash.cpp:266-327)
     at progressive-node granularity."""
 
-    def __init__(self, path, genomes, seed: int):
+    def __init__(self, path, genomes, seed: int, cfg=None):
+        import dataclasses
         import hashlib
         import json
         import os
+        import re
         self._os = os
         self.dir = str(path)
         os.makedirs(self.dir, exist_ok=True)
@@ -819,6 +821,13 @@ class _ProgressiveCheckpoint:
         for g in genomes:
             h.update(len(g.codes).to_bytes(8, "little"))
             h.update(g.codes.tobytes())
+        if cfg is not None:
+            # every alignment-affecting config field invalidates cached
+            # node merges; only bookkeeping fields are excluded
+            d = dataclasses.asdict(cfg)
+            d.pop("checkpoint_dir", None)
+            d.pop("validate", None)
+            h.update(json.dumps(d, sort_keys=True, default=str).encode())
         self.key = h.hexdigest()
         meta = os.path.join(self.dir, "meta.json")
         stale = True
@@ -829,8 +838,13 @@ class _ProgressiveCheckpoint:
             except (OSError, ValueError):
                 stale = True
         if stale:
+            # delete only the files this checkpoint itself writes —
+            # never unrelated .npz/.nwk the user may keep in the dir
+            own = re.compile(
+                r"^(pairwise_matches\.npz|node_\d{4}\.npz|"
+                r"guide_tree\.nwk|meta\.json)$")
             for fn in os.listdir(self.dir):
-                if fn.endswith((".npz", ".nwk")) or fn == "meta.json":
+                if own.match(fn):
                     os.unlink(os.path.join(self.dir, fn))
             with open(meta + ".tmp", "w") as f:
                 json.dump({"key": self.key}, f)
@@ -913,7 +927,7 @@ def progressive_align(genomes: list[Genome],
     with trace.stage("sml_build"):
         smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
 
-    ckpt = _ProgressiveCheckpoint(cfg.checkpoint_dir, genomes, seed) \
+    ckpt = _ProgressiveCheckpoint(cfg.checkpoint_dir, genomes, seed, cfg) \
         if cfg.checkpoint_dir else None
 
     codes = [g.codes for g in genomes]

@@ -21,7 +21,8 @@ import numpy as np
 from libmems_tpu import seeds as seedlib
 from libmems_tpu.match import MatchArray, NO_MATCH
 from libmems_tpu.matchfind import find_mums
-from libmems_tpu.sequence import Genome, revcomp_ascii, translate_dna
+from libmems_tpu.sequence import (Genome, ambig_mask, revcomp_ascii,
+                                  translate_dna)
 from libmems_tpu.sml import SortedMerList
 
 
@@ -97,9 +98,18 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
     which EVERY genome participates are kept, rejected before extension;
     a gap where any genome's fragment is below seed length cannot yield
     an n-way match and returns empty."""
+    from libmems_tpu import trace
+    with trace.stage("search_gap"):
+        return _search_gap(genomes, gap_starts, gap_lens, seed,
+                           seed_families, nway)
+
+
+def _search_gap(genomes, gap_starts, gap_lens, seed,
+                seed_families=1, nway=False) -> MatchArray:
     G = len(genomes)
     seed_len = seedlib.seed_length(seed)
     frags = []
+    frag_ambig = []
     members = []
     for g in range(G):
         if gap_lens[g] < seed_len:
@@ -109,6 +119,8 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
         if gap_starts[g] < 0:
             a = revcomp_ascii(a)
         frags.append(translate_dna(a))
+        amb = ambig_mask(a)
+        frag_ambig.append(amb if amb.any() else None)
         members.append(g)
     if len(members) < 2 or (nway and len(members) < G):
         return MatchArray.empty(G)
@@ -127,9 +139,11 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
         except (KeyError, ValueError):
             break
         if use_host:
-            fam = find_pair_mums_np(frags[0], frags[1], fam_seed)
+            fam = find_pair_mums_np(frags[0], frags[1], fam_seed,
+                                    frag_ambig[0], frag_ambig[1])
         else:
-            smls = [SortedMerList.create(f, fam_seed) for f in frags]
+            smls = [SortedMerList.create(f, fam_seed, ambig=amb)
+                    for f, amb in zip(frags, frag_ambig)]
             fam = find_mums(smls, seq_mask=seq_mask)
         if len(fam):
             found.append(fam)

@@ -51,6 +51,28 @@ def translate_dna(seq: str | bytes | np.ndarray) -> np.ndarray:
     return _TRANSLATION[arr]
 
 
+_IS_ACGT = np.zeros(256, dtype=bool)
+for _c in "ACGTacgt":
+    _IS_ACGT[ord(_c)] = True
+
+
+def ambig_mask(seq: str | bytes | np.ndarray) -> np.ndarray:
+    """bool[L]: True where the character is not an unambiguous A/C/G/T.
+
+    Seed windows overlapping such positions are excluded from the mer
+    index (sentinel-keyed) so N-runs in draft genomes cannot seed or
+    extend matches — the reference's maskNNNNN behaviour
+    (libMems/FileSML.h:135, used by dmCreate FileSML.cpp:278-314),
+    applied uniformly to all index builds."""
+    if isinstance(seq, str):
+        arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    elif isinstance(seq, (bytes, bytearray)):
+        arr = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        arr = np.asarray(seq, dtype=np.uint8)
+    return ~_IS_ACGT[arr]
+
+
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     """Reverse complement of a 2-bit code array (complement = 3 - x)."""
     return (3 - codes[::-1]).astype(np.uint8)
@@ -86,6 +108,15 @@ class Genome:
     def __post_init__(self):
         if self.codes is None:
             self.codes = translate_dna(self.ascii)
+        self._ambig = None
+
+    @property
+    def ambig(self) -> np.ndarray:
+        """bool[L]: True at ambiguous (non-ACGT) positions; seed windows
+        overlapping them are excluded from the mer index."""
+        if self._ambig is None:
+            self._ambig = ambig_mask(self.ascii)
+        return self._ambig
 
     def __len__(self) -> int:
         return int(self.ascii.shape[0])

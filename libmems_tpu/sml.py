@@ -104,20 +104,33 @@ class SortedMerList:
 
     @staticmethod
     def create(genome_or_codes, seed: int, circular: bool = False,
-               filename: str = "") -> "SortedMerList":
+               filename: str = "", ambig: np.ndarray | None = None
+               ) -> "SortedMerList":
         """Build the SML on device (SortedMerList::Create + std::sort
-        equivalent, libMems/SortedMerList.cpp:786, FileSML.cpp:344)."""
+        equivalent, libMems/SortedMerList.cpp:786, FileSML.cpp:344).
+
+        `ambig` (bool[L], defaulting to the Genome's own mask) excludes
+        every seed window overlapping an ambiguous base via the all-ones
+        sentinel key (maskNNNNN equivalent, libMems/FileSML.h:135)."""
         if isinstance(genome_or_codes, Genome):
             codes = genome_or_codes.codes
+            if ambig is None:
+                a = genome_or_codes.ambig
+                ambig = a if a.any() else None
             filename = filename or genome_or_codes.filename
             circular = circular or genome_or_codes.circular
         else:
             codes = np.asarray(genome_or_codes, dtype=np.uint8)
+        if ambig is not None and not np.asarray(ambig).any():
+            ambig = None
         if circular:
             # circular sequences wrap seed_length-1 characters
             # (SortedMerList::Create, SortedMerList.cpp:797-800)
-            codes = np.concatenate([codes, codes[: seedlib.seed_length(seed) - 1]])
-            length = len(codes) - (seedlib.seed_length(seed) - 1)
+            wrap = seedlib.seed_length(seed) - 1
+            codes = np.concatenate([codes, codes[:wrap]])
+            if ambig is not None:
+                ambig = np.concatenate([ambig, ambig[:wrap]])
+            length = len(codes) - wrap
         else:
             length = len(codes)
         seed_len = seedlib.seed_length(seed)
@@ -126,7 +139,13 @@ class SortedMerList:
         pad_codes = _bucket_len(len(codes))
         codes_p = np.zeros(pad_codes, dtype=np.uint8)
         codes_p[: len(codes)] = codes
-        keys_p = canonical_seed_keys(jnp.asarray(codes_p), seed)
+        if ambig is not None:
+            ambig_p = np.zeros(pad_codes, dtype=bool)
+            ambig_p[: len(codes)] = np.asarray(ambig, bool)
+            keys_p = canonical_seed_keys(jnp.asarray(codes_p), seed,
+                                         jnp.asarray(ambig_p))
+        else:
+            keys_p = canonical_seed_keys(jnp.asarray(codes_p), seed)
         sentinel = ~jnp.zeros((), keys_p.dtype)
         masked = jnp.where(
             jnp.arange(keys_p.shape[0]) < n, keys_p, sentinel)
@@ -243,14 +262,19 @@ class SortedMerList:
         import heapq
         import tempfile
 
+        ambig = None
         if isinstance(genome_or_codes, Genome):
             codes = genome_or_codes.codes
+            if genome_or_codes.ambig.any():
+                ambig = genome_or_codes.ambig
         else:
             codes = np.asarray(genome_or_codes, dtype=np.uint8)
         if circular:
-            codes = np.concatenate(
-                [codes, codes[: seedlib.seed_length(seed) - 1]])
-            length = len(codes) - (seedlib.seed_length(seed) - 1)
+            wrap = seedlib.seed_length(seed) - 1
+            codes = np.concatenate([codes, codes[:wrap]])
+            if ambig is not None:
+                ambig = np.concatenate([ambig, ambig[:wrap]])
+            length = len(codes) - wrap
         else:
             length = len(codes)
         seed_len = seedlib.seed_length(seed)
@@ -261,12 +285,17 @@ class SortedMerList:
         run_paths = []
         tmpdir = tempfile.mkdtemp(dir=scratch_dir)
         try:
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
+            def _chunk_keys(lo, hi):
                 # windows starting in [lo, hi) need codes up to
                 # hi+seed_len-1
-                part = canonical_seed_keys_np(
-                    codes[lo:hi + seed_len - 1], seed).astype("<u8")
+                amb = None if ambig is None else \
+                    ambig[lo:hi + seed_len - 1]
+                return canonical_seed_keys_np(
+                    codes[lo:hi + seed_len - 1], seed, amb).astype("<u8")
+
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                part = _chunk_keys(lo, hi)
                 pos = np.arange(lo, hi, dtype="<i4")
                 order = np.argsort(part, kind="stable")
                 rp = os.path.join(tmpdir, f"run{len(run_paths)}.bin")
@@ -314,9 +343,7 @@ class SortedMerList:
                 fh.write(header.tobytes())
                 for lo in range(0, n, chunk):
                     hi = min(lo + chunk, n)
-                    part = canonical_seed_keys_np(
-                        codes[lo:hi + seed_len - 1], seed).astype("<u8")
-                    part.tofile(fh)
+                    _chunk_keys(lo, hi).tofile(fh)
                 spos_mm = np.memmap(spos_path, dtype="<i4", mode="r")
                 for lo in range(0, n, chunk):
                     np.asarray(spos_mm[lo:lo + chunk]).tofile(fh)

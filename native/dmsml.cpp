@@ -156,8 +156,19 @@ void dmsml_keys(const uint8_t* codes, uint64_t n, uint64_t seed,
     SeedSpec s = parse_seed(seed);
     if (s.length == 0 || n < (uint64_t)s.length) return;
     uint64_t windows = n - s.length + 1;
-    for (uint64_t i = 0; i < windows; ++i)
-        out_keys[i] = window_key(codes, s, i);
+    // code bytes > 3 mark ambiguous bases (N etc.); every window
+    // overlapping one carries the all-ones sentinel key (maskNNNNN
+    // equivalent, libMems/FileSML.h:135).  Rolling last-bad tracker:
+    // O(1) per window.
+    int64_t last_bad = -1;
+    for (int j = 0; j + 1 < s.length; ++j)
+        if (codes[j] > 3) last_bad = j;
+    for (uint64_t i = 0; i < windows; ++i) {
+        uint64_t j = i + s.length - 1;
+        if (codes[j] > 3) last_bad = (int64_t)j;
+        out_keys[i] = (last_bad >= (int64_t)i) ? ~0ull
+                                               : window_key(codes, s, i);
+    }
 }
 
 // Out-of-core SML build.  codes: path to a raw byte file of 2-bit codes
@@ -218,8 +229,15 @@ int dmsml_create(const char* codes_path, const char* out_path,
         const size_t KBUF = 1 << 16;
         std::vector<uint64_t> keybuf(KBUF);
         size_t kn = 0;
+        int64_t last_bad = -1;
+        for (int j = 0; j + 1 < s.length; ++j)
+            if (codes[j] > 3) last_bad = j;
         for (uint64_t i = 0; i < windows; ++i) {
-            uint64_t k = window_key(codes.data(), s, i);
+            uint64_t jw = i + s.length - 1;
+            if (codes[jw] > 3) last_bad = (int64_t)jw;
+            uint64_t k = (last_bad >= (int64_t)i)
+                             ? ~0ull
+                             : window_key(codes.data(), s, i);
             keybuf[kn++] = k;
             if (kn == KBUF) {
                 fwrite(keybuf.data(), sizeof(uint64_t), kn, out);

@@ -10,6 +10,7 @@ through XMFA, with bbseq/bbcols consistent.
 
 import io
 
+import pytest
 import numpy as np
 
 from libmems_tpu.aligner import AlignerConfig, align
@@ -82,6 +83,7 @@ def _shared_island_columns(ivs, genomes, mid_lo, mid_hi):
     return shared
 
 
+@pytest.mark.slow
 def test_apply_backbone_unaligns_islands_and_roundtrips():
     rng = np.random.default_rng(3)
     flank, mid = 3000, 1200

@@ -8,6 +8,9 @@ import numpy as np
 from libmems_tpu import seeds as seedlib
 from libmems_tpu.matchfind import find_mums, find_mums_checkpointed
 from libmems_tpu.sequence import Genome
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute integration module
 
 ALPHA = np.array(list("ACGT"))
 

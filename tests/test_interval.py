@@ -114,3 +114,65 @@ def test_xmfa_header(tmp_path):
     out = buf.getvalue()
     assert out.startswith("#FormatVersion Mauve1\n")
     assert "#Sequence1File\tf.fa" in out
+
+
+def test_read_xmfa_intervals_roundtrip(tmp_path):
+    """XMFA -> IntervalList object model -> XMFA must be byte-stable
+    (restart-from-XMFA workflows; IntervalList.h:445-616)."""
+    from libmems_tpu.interval import read_xmfa_intervals
+
+    rng = np.random.default_rng(11)
+    s = random_seq(rng, 400)
+    a = Genome.from_string(s, name="ga", filename="ga.fa")
+    b = Genome.from_string(mutate(rng, s, 0.04), name="gb",
+                           filename="gb.fa")
+    ivs, _ = align([a, b], AlignerConfig(seed=seedlib.get_seed(9, 0),
+                                         gapped_alignment=True))
+    p1 = tmp_path / "one.xmfa"
+    write_xmfa(p1, ivs)
+    ivs2 = read_xmfa_intervals(p1, [a, b])
+    # rendered rows of every non-empty interval agree
+    orig = [iv for iv in ivs.intervals if iv.alignment_length]
+    assert len(ivs2.intervals) == len(orig)
+    for iv_o, iv_r in zip(orig, ivs2.intervals):
+        assert np.array_equal(iv_o.starts(), iv_r.starts())
+        assert np.array_equal(iv_o.lengths(), iv_r.lengths())
+        assert np.array_equal(iv_o.render([a, b]), iv_r.render([a, b]))
+    # and a second serialization is byte-identical
+    p2 = tmp_path / "two.xmfa"
+    write_xmfa(p2, ivs2)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_read_xmfa_intervals_without_genomes(tmp_path):
+    """Reader synthesizes placeholder genomes from the rows when no
+    backing is given (cross-tool ingestion)."""
+    from libmems_tpu.interval import read_xmfa_intervals
+
+    txt = """#FormatVersion Mauve1
+#Sequence1File\tx.fa
+#Sequence2File\ty.fa
+> 1:1-8 + x.fa
+ACGT-ACG
+T
+> 2:3-9 - y.fa
+ACGTTAC-
+G
+=
+> 1:9-12 + x.fa
+AAAA
+=
+"""
+    p = tmp_path / "in.xmfa"
+    p.write_text(txt)
+    ivs = read_xmfa_intervals(p)
+    assert len(ivs.intervals) == 2
+    iv0 = ivs.intervals[0]
+    assert iv0.starts().tolist() == [1, -3]
+    assert iv0.lengths().tolist() == [8, 7]
+    assert iv0.blocks[0].rows[0].tobytes() == b"ACGT-ACGT"
+    assert iv0.blocks[0].rows[1].tobytes() == b"ACGTTAC-G"
+    # synthesized genome 1 holds the ungapped forward characters
+    g1 = ivs.genomes[0]
+    assert g1.ascii[:8].tobytes() == b"ACGTACGT"
+    assert g1.ascii[8:12].tobytes() == b"AAAA"

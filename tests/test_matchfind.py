@@ -232,6 +232,7 @@ def test_find_pair_mums_np_matches_device():
         assert host.key_set() == dev.key_set(), trial
 
 
+@pytest.mark.slow
 def test_fused_pairwise_matches_host_orchestration():
     """The fused device PairwiseMatchFinder pipeline must be row-identical
     to the host-orchestrated twin (which fetches the whole seed table)."""

@@ -17,6 +17,8 @@ from libmems_tpu.sequence import revcomp_ascii
 from libmems_tpu.sml import SortedMerList
 from libmems_tpu import seeds as seedlib
 
+pytestmark = pytest.mark.slow  # multi-minute integration module
+
 rng = np.random.default_rng(0)
 
 

@@ -24,6 +24,8 @@ from libmems_tpu.matchfind import find_pairwise_mums
 from libmems_tpu.sequence import Genome
 from libmems_tpu.sml import create_smls
 
+pytestmark = pytest.mark.slow  # multi-minute integration module
+
 ALPHA = np.array(list("ACGT"))
 
 

@@ -11,6 +11,8 @@ from libmems_tpu.matchfind import find_mums
 from libmems_tpu.parallel.shard import make_mesh, sharded_find_mums
 from libmems_tpu.sml import SortedMerList
 
+pytestmark = pytest.mark.slow  # multi-minute integration module
+
 rng = np.random.default_rng(0)
 
 

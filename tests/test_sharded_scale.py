@@ -12,6 +12,8 @@ from libmems_tpu.matchfind import find_mums
 from libmems_tpu.parallel.shard import make_mesh, sharded_find_mums
 from libmems_tpu.sml import SortedMerList
 
+pytestmark = pytest.mark.slow  # multi-minute integration module
+
 
 def _family(rng, n_genomes, length, mutate=0.02):
     anc = rng.integers(0, 4, size=length).astype(np.uint8)

@@ -12,6 +12,8 @@ from libmems_tpu.ops.mers import canonical_seed_keys_np
 from libmems_tpu.parallel import make_mesh, sharded_mum_seed_count
 from libmems_tpu.parallel.shard import pad_table_for_mesh, sharded_seed_table
 
+pytestmark = pytest.mark.slow  # multi-minute integration module
+
 needs_devices = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 virtual devices")
 

@@ -50,6 +50,7 @@ def test_flat_aligner_output_validates(seed):
             check_no_all_gap_columns(iv.render(genomes))
 
 
+@pytest.mark.slow
 def test_progressive_output_validates():
     rng = np.random.default_rng(3)
     anc = _seq(rng, 5000)
