@@ -28,7 +28,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from libmems_tpu.interval import IntervalList
-from libmems_tpu.islands import HssCols, find_hss_homology_batch
+from libmems_tpu.islands import (HssCols, find_big_gaps,
+                                 find_hss_homology_batch)
 from libmems_tpu.ops.hmm import HmmParams, adapted_hoxd_params
 from libmems_tpu.scoring import GAP
 from libmems_tpu.sequence import Genome
@@ -56,7 +57,8 @@ def compute_gc(genomes: list[Genome]) -> float:
     return gc / max(total, 1)
 
 
-def _interval_participation(ivs: IntervalList, params: HmmParams | None
+def _interval_participation(ivs: IntervalList, params: HmmParams | None,
+                            big_gap_size: int = 10000
                             ) -> tuple[list[np.ndarray],
                                        dict[int, np.ndarray]]:
     """Batched per-interval pairwise HMM homology -> per-column
@@ -66,6 +68,13 @@ def _interval_participation(ivs: IntervalList, params: HmmParams | None
     there; ULA boundaries fall where any participation bit changes —
     the column-mask union is the partition-refinement the reference's
     applyBreakpoints loop computes with ULA lists).
+
+    The HMM composes with the BigGapsDetector exactly like the
+    reference's detector stack (Backbone.h:88-126, Islands.h:363-412):
+    each pairwise projection is first split at single-genome gap runs
+    longer than `big_gap_size`, the HMM scores each sub-segment
+    independently, and the big gaps themselves are never homologous —
+    a megabase indel no longer reaches (or stalls) the HMM scan.
 
     Returns (rendered rows per interval, {ivI: bool[G, C]})."""
     genomes = ivs.genomes
@@ -84,32 +93,38 @@ def _interval_participation(ivs: IntervalList, params: HmmParams | None
             continue
         for a in range(len(present)):
             for b in range(a + 1, len(present)):
-                jobs.append((rows[present[a]], rows[present[b]],
-                             present[a], present[b]))
-                job_meta.append(ivI)
+                pa, pb = present[a], present[b]
+                for seg in find_big_gaps(rows[pa], rows[pb], pa, pb,
+                                         big_gap_size):
+                    lo, hi = seg.left_col, seg.right_col + 1
+                    jobs.append((rows[pa][lo:hi], rows[pb][lo:hi],
+                                 pa, pb))
+                    job_meta.append((ivI, lo))
     all_hss = find_hss_homology_batch(jobs, params)
 
     per_iv_part: dict[int, np.ndarray] = {}
-    for hss_list, ivI in zip(all_hss, job_meta):
+    for hss_list, (ivI, off) in zip(all_hss, job_meta):
         rows = rendered[ivI]
         part = per_iv_part.setdefault(
             ivI, np.zeros((G, rows.shape[1]), dtype=bool))
         for h in hss_list:
-            part[h.seqI, h.left_col:h.right_col + 1] = True
-            part[h.seqJ, h.left_col:h.right_col + 1] = True
+            part[h.seqI, off + h.left_col:off + h.right_col + 1] = True
+            part[h.seqJ, off + h.left_col:off + h.right_col + 1] = True
     return rendered, per_iv_part
 
 
 def detect_backbone(ivs: IntervalList,
                     params: HmmParams | None = None,
-                    min_bb_length: int = 0) -> list[BackboneSegment]:
+                    min_bb_length: int = 0,
+                    big_gap_size: int = 10000) -> list[BackboneSegment]:
     """Per-interval pairwise HMM homology → transitive merge →
     backbone segments (detectAndApplyBackbone minus interval rewriting).
     """
     genomes = ivs.genomes
     G = len(genomes)
     segments: list[BackboneSegment] = []
-    rendered, per_iv_part = _interval_participation(ivs, params)
+    rendered, per_iv_part = _interval_participation(ivs, params,
+                                                    big_gap_size)
 
     for ivI, part in sorted(per_iv_part.items()):
         iv = ivs.intervals[ivI]
@@ -188,7 +203,8 @@ def _row_block_coords(iv, rows, lo: int, hi: int,
 
 def apply_backbone(ivs: IntervalList,
                    params: HmmParams | None = None,
-                   min_bb_length: int = 0
+                   min_bb_length: int = 0,
+                   big_gap_size: int = 10000
                    ) -> tuple[IntervalList, list[BackboneSegment]]:
     """detectAndApplyBackbone with interval rewriting (Backbone.h:65-71,
     unalignIslands Backbone.cpp:672-824): island characters — columns
@@ -204,7 +220,8 @@ def apply_backbone(ivs: IntervalList,
 
     genomes = ivs.genomes
     G = len(genomes)
-    rendered, per_iv_part = _interval_participation(ivs, params)
+    rendered, per_iv_part = _interval_participation(ivs, params,
+                                                    big_gap_size)
 
     new_intervals: list = []
     segments: list[BackboneSegment] = []

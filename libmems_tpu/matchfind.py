@@ -752,16 +752,20 @@ def _containment_filter(starts: np.ndarray, lengths: np.ndarray
     s_sig = np.stack(sig, axis=1)[order]
     s_start = pos_ref[order]
     s_end = s_start + lengths[order] - 1
-    keep = np.ones(R, dtype=bool)
     # within a signature run, sorted by (start asc, length desc): a row
-    # is contained iff some earlier row's end reaches its end
-    run_max_end = -1
-    for i in range(R):
-        if i > 0 and (s_sig[i] != s_sig[i - 1]).any():
-            run_max_end = -1
-        if s_end[i] <= run_max_end:
-            keep[order[i]] = False
-        run_max_end = max(run_max_end, s_end[i])
+    # is contained iff some earlier row's end reaches its end.  The
+    # per-run prefix max is one global maximum.accumulate over
+    # seg_id-offset ends (rows of earlier runs can never dominate).
+    seg_start = np.concatenate([[True],
+                                (s_sig[1:] != s_sig[:-1]).any(axis=1)])
+    seg_id = np.cumsum(seg_start) - 1
+    offset = np.int64(s_end.max()) + 1
+    e = seg_id * offset + s_end
+    prev_max = np.concatenate([[np.int64(-1)],
+                               np.maximum.accumulate(e)[:-1]])
+    contained = (prev_max - seg_id * offset) >= s_end
+    keep = np.ones(R, dtype=bool)
+    keep[order[contained]] = False
     return starts[keep], lengths[keep]
 
 
@@ -865,10 +869,14 @@ def _find_mums_enumerated(smls, repeat_tolerance: int,
     genome's first `enumeration_tolerance` occurrences (position order),
     with per-combination strand reference = the combination's first
     occurrence (MemHash::EnumerateMatches -> MatchFinder::
-    EnumerateMatches odometer + SetDirection, MemHash.cpp:139-203)."""
-    import itertools
+    EnumerateMatches odometer + SetDirection, MemHash.cpp:139-203).
 
+    The odometer is fully vectorized: per-run mixed-radix strides turn
+    the cross product into one flat index calculation over all
+    combinations of all runs at once (the array generalization of the
+    fori_loop pair expansion; no per-run interpreter loop)."""
     G = len(smls)
+    et = enumeration_tolerance
     content, gid, pos, strand = (np.asarray(x) for x in _seed_table(smls))
     n = len(content)
     if n == 0:
@@ -878,6 +886,9 @@ def _find_mums_enumerated(smls, repeat_tolerance: int,
     order = np.lexsort((pos, strand, gid, content))
     content, gid, pos, strand = (x[order] for x in
                                  (content, gid, pos, strand))
+    # masked-window sentinel runs never enumerate
+    sent_c = np.int64(-1) if content.dtype == np.int64 else \
+        (~content.dtype.type(0) >> content.dtype.type(1))
     run_start = np.concatenate([[True], content[1:] != content[:-1]])
     sub_start = run_start | np.concatenate(
         [[True], gid[1:] != gid[:-1]])
@@ -891,40 +902,50 @@ def _find_mums_enumerated(smls, repeat_tolerance: int,
     np.add.at(counts, (run_id, gid), 1)
     run_len = counts.sum(axis=1)
     survive = (counts.max(axis=1) <= repeat_tolerance + 1) \
-        & ((counts > 0).sum(axis=1) >= 2) & (run_len <= repeat_limit)
+        & ((counts > 0).sum(axis=1) >= 2) & (run_len <= repeat_limit) \
+        & (content[np.flatnonzero(run_start)] != sent_c)
+    if seq_mask:
+        want = np.array([(seq_mask >> (G - 1 - gi)) & 1
+                         for gi in range(G)], dtype=bool)
+        survive &= ((counts > 0) == want[None, :]).all(axis=1)
 
-    kept = survive[run_id] & (occ_rank < enumeration_tolerance)
-    rows = []
-    lens = []
     seed_len = smls[0].seed_length
-    k_idx = np.flatnonzero(kept)
-    if len(k_idx) == 0:
+    sel_runs = np.flatnonzero(survive)
+    if len(sel_runs) == 0:
         return MatchArray.empty(G)
-    # group kept occurrences by run
-    change = np.concatenate([[True],
-                             run_id[k_idx][1:] != run_id[k_idx][:-1]])
-    for lo, hi in zip(np.flatnonzero(change),
-                      np.append(np.flatnonzero(change)[1:], len(k_idx))):
-        members = k_idx[lo:hi]
-        by_gid: dict[int, list[int]] = {}
-        for m in members:
-            by_gid.setdefault(int(gid[m]), []).append(m)
-        if len(by_gid) < 2:
-            continue
-        if seq_mask and sum(1 << (G - 1 - gi) for gi in by_gid) != seq_mask:
-            continue
-        for combo in itertools.product(*by_gid.values()):
-            ref_st = strand[combo[0]]
-            s = np.zeros(G, dtype=np.int64)
-            for m in combo:
-                sign = 1 if strand[m] == ref_st else -1
-                s[gid[m]] = sign * (int(pos[m]) + 1)
-            rows.append(s)
-            lens.append(seed_len)
-    if not rows:
-        return MatchArray.empty(G)
-    starts = np.stack(rows)
-    lengths = np.array(lens, dtype=np.int64)
+    Rn = len(sel_runs)
+    run_map = np.full(counts.shape[0], -1, dtype=np.int64)
+    run_map[sel_runs] = np.arange(Rn)
+
+    kept = survive[run_id] & (occ_rank < et)
+    k = np.flatnonzero(kept)
+    rix = run_map[run_id[k]]
+    pos_tab = np.zeros((Rn, G, et), dtype=np.int64)
+    str_tab = np.zeros((Rn, G, et), dtype=np.uint8)
+    pos_tab[rix, gid[k], occ_rank[k]] = pos[k]
+    str_tab[rix, gid[k], occ_rank[k]] = strand[k]
+
+    kc = np.minimum(counts[sel_runs], et)            # [Rn, G]
+    kc1 = np.maximum(kc, 1)
+    # mixed-radix strides: stride[:, g] = prod_{g' > g} kc1[:, g']
+    rev_cp = np.cumprod(kc1[:, ::-1], axis=1)[:, ::-1]
+    n_combos = rev_cp[:, 0]
+    stride = np.concatenate(
+        [rev_cp[:, 1:], np.ones((Rn, 1), dtype=np.int64)], axis=1)
+    offs = np.concatenate([[0], np.cumsum(n_combos)[:-1]])
+    T = int(n_combos.sum())
+    t_run = np.repeat(np.arange(Rn), n_combos)
+    t_loc = np.arange(T, dtype=np.int64) - offs[t_run]
+    occ_sel = (t_loc[:, None] // stride[t_run]) % kc1[t_run]  # [T, G]
+    present = kc[t_run] > 0
+    t_ar = np.arange(T)
+    pos_sel = pos_tab[t_run[:, None], np.arange(G)[None, :], occ_sel]
+    str_sel = str_tab[t_run[:, None], np.arange(G)[None, :], occ_sel]
+    first_g = np.argmax(kc > 0, axis=1)[t_run]
+    ref_st = str_sel[t_ar, first_g]
+    sign = np.where(str_sel == ref_st[:, None], 1, -1)
+    starts = np.where(present, sign * (pos_sel + 1), 0)
+    lengths = np.full((T,), seed_len, dtype=np.int64)
     if extend:
         starts, lengths = _cluster_reduce_np(starts, lengths, seed_len)
         starts, lengths = _extend_rows(smls, starts, lengths)

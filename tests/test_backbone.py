@@ -185,3 +185,39 @@ def test_backbone_detection_and_files(tmp_path):
 def test_compute_gc():
     g = lm.Genome.from_string("GGCCAATT", name="x")
     assert abs(compute_gc([g]) - 0.5) < 1e-12
+
+
+def test_big_gaps_detector_composed_with_hmm():
+    """A long single-genome indel splits the HMM's input and is never
+    homologous (BigGapsDetector composition, Backbone.h:88-126,
+    Islands.h:363-412)."""
+    import numpy as np
+    from libmems_tpu.backbone import detect_backbone
+    from libmems_tpu.interval import Block, Interval, IntervalList
+    from libmems_tpu.sequence import Genome
+
+    rng = np.random.default_rng(21)
+    flank = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8)
+    flank2 = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8)
+    insert = rng.choice(list(b"ACGT"), size=50_000).astype(np.uint8)
+    a_seq = np.concatenate([flank, insert, flank2])
+    b_seq = np.concatenate([flank, flank2])
+    ga = Genome("a", a_seq)
+    gb = Genome("b", b_seq)
+    C = len(a_seq)
+    rows = np.vstack([
+        a_seq,
+        np.concatenate([flank, np.full(50_000, ord("-"), np.uint8),
+                        flank2])])
+    iv = Interval(blocks=[Block(
+        starts=np.array([1, 1], np.int64),
+        lengths=np.array([C, len(b_seq)], np.int64), rows=rows)],
+        seq_count=2)
+    segs = detect_backbone(IntervalList([iv], [ga, gb]),
+                           big_gap_size=10_000)
+    assert segs, "flanks must be detected as backbone"
+    for s in segs:
+        # no backbone segment may overlap the indel columns [3000, 53000)
+        assert s.right_col < 3000 or s.left_col >= 53_000
+    covered = sum(s.right_col - s.left_col + 1 for s in segs)
+    assert covered >= 5000  # both flanks essentially recovered
