@@ -44,6 +44,12 @@ def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
 
     sc = seg.run_starts(sorted_keys >> 1)
     runlen = seg.run_lengths(sc).astype(jnp.int32)
+    # sentinel windows (bucket padding and ambiguity-masked windows)
+    # count as frequency 1: they participate in no matches, and pad
+    # counts must not bleed into the trailing-mean smoothing of real
+    # tail positions
+    runlen = jnp.where(sorted_keys == ~jnp.zeros((), sorted_keys.dtype),
+                       1, runlen)
     # position-order counts: sort (position, runlen); positions are a
     # permutation of [0, n)
     _, count_posorder = jax.lax.sort(
@@ -71,12 +77,32 @@ def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
 def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:
     """float32[genome_length] smoothed per-position seed frequency
     (SeedOccurrenceList::construct + smoothFrequencies,
-    libMems/SeedOccurrenceList.h:22-92)."""
-    if sml.n_windows == 0:
+    libMems/SeedOccurrenceList.h:22-92).
+
+    Inputs are bucket-padded so genomes of different lengths share one
+    compiled executable (remote compiles dominate small-shape-variation
+    workloads; PERF.md rule 11).  Pad windows carry the all-ones
+    sentinel key — a trailing run whose counts only affect pad
+    positions, sliced off before return."""
+    from libmems_tpu.sml import _bucket_len
+    n = sml.n_windows
+    if n == 0:
         return np.ones(sml.length, dtype=np.float32)
-    return np.asarray(_seed_occurrence_device(
-        sml.sorted_keys, sml.sorted_positions, sml.length,
-        sml.seed_length))
+    npad = _bucket_len(n)
+    lpad = npad + (sml.length - n)
+    if npad == n:
+        keys, spos = sml.sorted_keys, sml.sorted_positions
+    else:
+        sent = ~jnp.zeros((), sml.sorted_keys.dtype)
+        keys = jnp.concatenate([
+            sml.sorted_keys, jnp.full((npad - n,), sent,
+                                      sml.sorted_keys.dtype)])
+        spos = jnp.concatenate([
+            sml.sorted_positions,
+            jnp.arange(n, npad, dtype=sml.sorted_positions.dtype)])
+    out = np.asarray(_seed_occurrence_device(
+        keys, spos, lpad, sml.seed_length))
+    return np.ascontiguousarray(out[:sml.length])
 
 
 def pairwise_anchor_scores(matches: MatchArray, gi: int, gj: int,

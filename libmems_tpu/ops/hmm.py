@@ -176,10 +176,94 @@ def _fb_posterior(obs: jax.Array, lengths: jax.Array, ls, lt, lstop, le):
     return jnp.moveaxis(post_h, 0, 1)               # [B, T]
 
 
+FB_CKPT_COLS = 1024        # block size of the checkpointed F/B
+_FB_CKPT_MIN_T = 1 << 14   # below this the un-blocked scan is cheaper
+_FB_MAX_ELEMS = 1 << 27    # cap B*T per dispatch (bounds HBM live set)
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _fb_posterior_ckpt(obs: jax.Array, lengths: jax.Array,
+                       ls, lt, lstop, le, K: int):
+    """Memory-bounded forward/backward: the un-blocked scan materializes
+    O(T·B) per-state tables several times over — 16G+ HBM at 2M-column
+    alignments.  Here the forward pass stores only per-block boundary
+    carries (the row-checkpoint scheme of ops.gapped); the backward
+    sweep re-derives each block's forward rows from its checkpoint, so
+    live memory is O(B·(T/K + K)) plus the posterior output itself.
+
+    Carry formulation: g_i = log P(obs[<i], state entering column i)
+    (g_0 = log start), so f_i = g_i + logemit_i needs no ragged-length
+    masking — f at each row's final column is tracked explicitly."""
+    B, T = obs.shape
+    nb = T // K
+    le_t = le.T                                  # [8, 2]
+    idxK = jnp.arange(K)
+
+    obs_b = jnp.moveaxis(obs, 1, 0).reshape(nb, K, B)
+    # column i+1 symbols, for the backward emission term
+    obs_next = jnp.concatenate([obs[:, 1:], obs[:, :1]], axis=1)
+    obs_nb = jnp.moveaxis(obs_next, 1, 0).reshape(nb, K, B)
+
+    def fstep(c, x):
+        g, f_last = c
+        ob, i = x
+        f = g + le_t[ob]
+        f_last = jnp.where((i == lengths - 1)[:, None], f, f_last)
+        g2 = jax.nn.logsumexp(f[:, :, None] + lt[None], axis=1)
+        return (g2, f_last), None
+
+    def fblock(carry, xs):
+        obs_blk, i0 = xs
+        ck = carry[0]
+        c2, _ = jax.lax.scan(fstep, carry, (obs_blk, i0 + idxK))
+        return c2, ck
+
+    g0 = jnp.broadcast_to(ls[None], (B, 2))
+    f_last0 = jnp.full((B, 2), -jnp.inf)
+    (gT, f_last), g_cks = jax.lax.scan(
+        fblock, (g0, f_last0),
+        (obs_b, (jnp.arange(nb) * K).astype(jnp.int32)))
+    logP = jax.nn.logsumexp(f_last + lstop[None], axis=1)     # [B]
+
+    def bblock(b_carry, xs):
+        g_ck, obs_blk, obs_nblk, i0 = xs
+
+        def fstep2(g, x):
+            ob, i = x
+            f = g + le_t[ob]
+            g2 = jax.nn.logsumexp(f[:, :, None] + lt[None], axis=1)
+            return g2, f
+
+        _, F_blk = jax.lax.scan(fstep2, g_ck, (obs_blk, i0 + idxK))
+
+        def bstep(bn, x):
+            ob_next, i = x
+            le_next = le_t[ob_next]
+            b = jax.nn.logsumexp(
+                lt[None] + (le_next + bn)[:, None, :], axis=2)
+            b = jnp.where((i == lengths - 1)[:, None], lstop[None], b)
+            b = jnp.where((i > lengths - 1)[:, None], bn, b)
+            return b, b
+
+        b2, B_blk = jax.lax.scan(bstep, b_carry,
+                                 (obs_nblk, i0 + idxK), reverse=True)
+        post = jnp.exp(F_blk[:, :, 0] + B_blk[:, :, 0] - logP[None, :])
+        return b2, post
+
+    b_init = jnp.broadcast_to(lstop[None], (B, 2))
+    _, posts = jax.lax.scan(
+        bblock, b_init,
+        (g_cks, obs_b, obs_nb, (jnp.arange(nb) * K).astype(jnp.int32)),
+        reverse=True)
+    return jnp.moveaxis(posts.reshape(T, B), 0, 1)            # [B, T]
+
+
 def posterior_homologous(sequences: list[np.ndarray],
                          params: HmmParams | None = None) -> list[np.ndarray]:
     """Posterior P(homologous) per column for a batch of encoded symbol
-    sequences (uint8 codes 0..7).  Batched, padded to buckets."""
+    sequences (uint8 codes 0..7).  Batched, padded to buckets; long
+    sequences run the checkpointed F/B, and each dispatch's B*T is
+    capped so the HBM live set stays bounded at any alignment length."""
     if params is None:
         params = hoxd_params()
     ls, lt, lstop, le = (jnp.asarray(x) for x in _log_matrices(params))
@@ -192,17 +276,25 @@ def posterior_homologous(sequences: list[np.ndarray],
         T = max(64, 1 << (len(s) - 1).bit_length())
         buckets.setdefault(T, []).append(i)
     for T, idxs in buckets.items():
-        Bp = max(1, 1 << (len(idxs) - 1).bit_length())
-        obs = np.zeros((Bp, T), dtype=np.int32)
-        lens = np.ones(Bp, dtype=np.int32)
-        for r, i in enumerate(idxs):
-            obs[r, :len(sequences[i])] = sequences[i]
-            lens[r] = len(sequences[i])
-        post = np.asarray(_fb_posterior(jnp.asarray(obs),
-                                        jnp.asarray(lens),
-                                        ls, lt, lstop, le))
-        for r, i in enumerate(idxs):
-            out[i] = post[r, :len(sequences[i])]
+        max_rows = max(1, _FB_MAX_ELEMS // T)
+        for base in range(0, len(idxs), max_rows):
+            part = idxs[base:base + max_rows]
+            Bp = max(1, 1 << (len(part) - 1).bit_length())
+            obs = np.zeros((Bp, T), dtype=np.int32)
+            lens = np.ones(Bp, dtype=np.int32)
+            for r, i in enumerate(part):
+                obs[r, :len(sequences[i])] = sequences[i]
+                lens[r] = len(sequences[i])
+            if T >= _FB_CKPT_MIN_T:
+                post = np.asarray(_fb_posterior_ckpt(
+                    jnp.asarray(obs), jnp.asarray(lens),
+                    ls, lt, lstop, le, FB_CKPT_COLS))
+            else:
+                post = np.asarray(_fb_posterior(
+                    jnp.asarray(obs), jnp.asarray(lens),
+                    ls, lt, lstop, le))
+            for r, i in enumerate(part):
+                out[i] = post[r, :len(sequences[i])]
     return out
 
 

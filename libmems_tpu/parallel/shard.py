@@ -172,7 +172,9 @@ def _route_local(k, g, p, weight: int, n_dev: int, sentinel,
 
 def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
                       chunk: int | None = None,
-                      repeat_limit: int = 1000):
+                      repeat_limit: int = 1000,
+                      route_cap: int | None = None,
+                      max_retries: int = 3):
     """Full seed-prefix-sharded multi-MUM discovery (milestone M7).
 
     The distributed twin of matchfind._fused_mum_pipeline: windows are
@@ -189,9 +191,45 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
     Cross-shard duplicate candidates (seeds of one maximal match that
     hashed to different shards) collapse in the final host-side dedup.
 
+    Routing-buffer or candidate-capacity overflow (psum'd counts) is
+    retried automatically with the overflowing capacity doubled, up to
+    max_retries times — skew beyond the 2x balanced share assumption
+    (pathological key mixes) degrades to a recompile, never a wrong or
+    failed result.
+
     Returns a MatchArray (same semantics as find_mums: unique MUMs,
     repeat_tolerance=0).
     """
+    n_dev = mesh.devices.size
+    total0 = sum(s.n_windows for s in smls)
+    total = total0 + ((-total0) % n_dev)
+    if capacity is None:
+        capacity = max(256, 1 << (total // n_dev - 1).bit_length())
+    if route_cap is None:
+        # per-destination send capacity: 2x the balanced share of one
+        # device's local rows (local rows = total/n_dev, spread over
+        # n_dev destinations)
+        route_cap = max(256, 2 * (-(-total // n_dev) // n_dev))
+    last = None
+    for _ in range(max_retries + 1):
+        ma, dropped, cand_over = _sharded_find_mums_once(
+            smls, mesh, capacity, chunk, repeat_limit, route_cap)
+        if dropped == 0 and cand_over == 0:
+            return ma
+        if dropped:
+            route_cap *= 2
+        if cand_over:
+            capacity *= 2
+        last = (dropped, cand_over)
+    raise ValueError(
+        f"sharded_find_mums still overflowing after {max_retries} "
+        f"retries (dropped={last[0]}, cand_over={last[1]}, "
+        f"capacity={capacity}, route_cap={route_cap})")
+
+
+def _sharded_find_mums_once(smls, mesh: Mesh, capacity: int,
+                            chunk: int | None, repeat_limit: int,
+                            route_cap: int):
     from libmems_tpu.match import MatchArray
     from libmems_tpu.ops.extend import extend_matches
 
@@ -210,20 +248,17 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
                           for i, c in enumerate(cnts_np)])
     pos = np.concatenate([np.arange(c, dtype=np.int32) for c in cnts_np])
     keys, gid, pos = pad_table_for_mesh(keys, gid, pos, n_dev)
-    total = len(keys)
-    if capacity is None:
-        capacity = max(256, 1 << (total // n_dev - 1).bit_length())
     sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
                   P(), P(), P()),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()))
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()))
     def step(k, g, p, keys_posorder, offs, cnts):
         sentinel = jnp.array(sentinel_val, k.dtype)
         (content, rg, rp, rstrand), dropped = _route_local(
-            k, g, p, weight, n_dev, sentinel)
+            k, g, p, weight, n_dev, sentinel, send_cap=route_cap)
         sentinel_content = sentinel >> 1
         # unique-MUM seed enumeration on the local run table
         sc = seg.run_starts(content)
@@ -274,24 +309,24 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
             jnp.ones((1,), bool),
             jnp.any(srows[1:] != srows[:-1], axis=1)])
         uniq = svalid & first
-        overflow = jax.lax.psum(
-            jnp.maximum(n_rows - capacity, 0) + dropped, SHARD_AXIS)
+        dropped_sum = jax.lax.psum(dropped, SHARD_AXIS)
+        cand_over = jax.lax.psum(
+            jnp.maximum(n_rows - capacity, 0), SHARD_AXIS)
         return (srows[None, :, :G], srows[None, :, G], uniq[None],
-                overflow)
+                dropped_sum, cand_over)
 
-    starts, lengths, valid, overflow = step(
+    starts, lengths, valid, dropped, cand_over = step(
         jnp.asarray(keys), jnp.asarray(gid), jnp.asarray(pos),
         keys_po, jnp.asarray(offs_np), jnp.asarray(cnts_np))
-    if int(overflow) > 0:
-        raise ValueError(
-            f"shard candidate capacity exceeded by {int(overflow)} rows; "
-            f"raise capacity (got {capacity})")
+    dropped, cand_over = int(dropped), int(cand_over)
+    if dropped or cand_over:
+        return None, dropped, cand_over
     starts = np.asarray(starts).reshape(-1, G)
     lengths = np.asarray(lengths).reshape(-1)
     valid = np.asarray(valid).reshape(-1)
     ma = MatchArray(starts[valid].astype(np.int64),
                     lengths[valid].astype(np.int64))
-    return ma.dedup().canonical_sort()
+    return ma.dedup().canonical_sort(), 0, 0
 
 
 def pad_table_for_mesh(keys: np.ndarray, gid: np.ndarray, pos: np.ndarray,

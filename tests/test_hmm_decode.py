@@ -86,3 +86,27 @@ def test_baum_welch_loglik_matches_bruteforce_first_iter():
     _, lls = hmm.baum_welch(seqs, p, iterations=1)
     want = sum(_brute_loglik(s, p) for s in seqs)
     assert np.isclose(lls[0], want, rtol=1e-5), (lls[0], want)
+
+
+def test_checkpointed_fb_matches_unblocked():
+    """The memory-bounded blocked F/B must match the un-blocked scan on
+    ragged batches (checkpoint recompute correctness)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from libmems_tpu.ops import hmm
+
+    rng = np.random.default_rng(13)
+    params = hmm.hoxd_params()
+    ls, lt, lstop, le = (jnp.asarray(x)
+                         for x in hmm._log_matrices(params))
+    B, T, K = 8, 2048, 128
+    obs = rng.integers(0, 8, size=(B, T)).astype(np.int32)
+    lens = np.array([T, 1, 2, K, K + 1, 777, T - 1, 1500],
+                    dtype=np.int32)
+    p1 = np.asarray(hmm._fb_posterior(
+        jnp.asarray(obs), jnp.asarray(lens), ls, lt, lstop, le))
+    p2 = np.asarray(hmm._fb_posterior_ckpt(
+        jnp.asarray(obs), jnp.asarray(lens), ls, lt, lstop, le, K))
+    for b in range(B):
+        np.testing.assert_allclose(p1[b, :lens[b]], p2[b, :lens[b]],
+                                   atol=1e-5)

@@ -49,3 +49,13 @@ def test_sharded_two_devices(smls):
 def test_sharded_overflow_detection(smls):
     with pytest.raises(ValueError, match="capacity"):
         sharded_find_mums(smls, make_mesh(8), capacity=8)
+
+
+def test_sharded_overflow_auto_retry(smls):
+    """Undersized capacity/routing buffers recover by doubling-and-
+    retrying (never a wrong result): parity with the single-device path
+    from a deliberately tiny starting capacity."""
+    ref = find_mums(smls)
+    got = sharded_find_mums(smls, make_mesh(4), capacity=256,
+                            route_cap=256, max_retries=8)
+    assert ref.key_set() == got.key_set()
