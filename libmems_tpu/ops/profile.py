@@ -105,7 +105,10 @@ def _profile_q_setup(q, gap_open, gap_extend):
     ext_cum = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(ext_q, axis=1)], axis=1)
     h0 = jnp.where(j_idx[None, :] == 0, 0.0, gap_open + ext_cum)
-    f0 = jnp.full((B, q.shape[1] + 1), NEG_BIG, dtype=jnp.float32)
+    # derive f0 from h0 so it inherits h0's varying manual axes under
+    # shard_map (a bare jnp.full constant would break the scan-carry
+    # type match when the batch axis is device-sharded)
+    f0 = (h0 - h0) + NEG_BIG
     return qw, ext_q, ext_cum, h0, f0
 
 
@@ -157,18 +160,73 @@ def rows_to_profile(rows: np.ndarray) -> np.ndarray:
     return prof / max(n_rows, 1)
 
 
+_DP_AXIS = "dp"
+_dp_mesh_cache: list = [None]
+
+
+def dp_mesh():
+    """1-D mesh over all local devices for batch-sharding the window DP
+    (VERDICT r2 item 3d: the gapped-DP batch is embarrassingly parallel
+    — on a multi-chip mesh every device aligns its slice of the window
+    batch; one chip behaves exactly as before).  None on single-device
+    backends."""
+    if _dp_mesh_cache[0] is None:
+        import jax as _jax
+        devs = _jax.devices()
+        if len(devs) < 2:
+            _dp_mesh_cache[0] = False
+        else:
+            from jax.sharding import Mesh
+            _dp_mesh_cache[0] = Mesh(np.array(devs), (_DP_AXIS,))
+    return _dp_mesh_cache[0] or None
+
+
+def _shard_forward(mesh, gap_open, gap_extend, K):
+    from jax.sharding import PartitionSpec as P
+
+    def fwd(p, q, p_len, q_len):
+        return profile_forward_ckpt(p, q, p_len, q_len,
+                                    gap_open, gap_extend, K)
+
+    return jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(_DP_AXIS), P(_DP_AXIS), P(_DP_AXIS), P(_DP_AXIS)),
+        out_specs=(P(_DP_AXIS), P(None, _DP_AXIS), P(None, _DP_AXIS)))
+
+
+def _shard_ptrs(mesh, gap_open, gap_extend):
+    from jax.sharding import PartitionSpec as P
+
+    def ptrs(ck_h, ck_f, p_blk, ext_p_blk, q, q_len):
+        return profile_block_ptrs(ck_h, ck_f, p_blk, ext_p_blk, q,
+                                  q_len, gap_open, gap_extend)
+
+    return jax.shard_map(
+        ptrs, mesh=mesh,
+        in_specs=(P(_DP_AXIS),) * 6, out_specs=P(_DP_AXIS))
+
+
 def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
                         gap_open: int = GAP_OPEN,
-                        gap_extend: int = GAP_EXTEND):
+                        gap_extend: int = GAP_EXTEND,
+                        mesh="auto"):
     """Align many (p, q) alignment-row groups on device.
 
     p_rows[k] / q_rows[k]: uint8[G_k, C_k] code rows (4 = gap).  Returns
     per pair merged rows uint8[Gp_k + Gq_k, C'_k].  Pairs are bucketed by
     padded column count to bound recompilation.
+
+    With more than one device (mesh="auto" default), the batch axis is
+    sharded over all devices via shard_map — the AlignLCBInParallel
+    parallelism (Aligner.cpp:1293-1367) mapped onto the mesh instead of
+    OpenMP threads.  Pass mesh=None to force single-device execution.
     """
     B = len(p_rows)
     if B == 0:
         return []
+    if mesh == "auto":
+        mesh = dp_mesh()
+    n_dev = mesh.devices.size if mesh is not None else 1
     results: list = [None] * B
 
     def bucket(n, minimum=16):
@@ -186,7 +244,7 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
 
     for (M, N), idxs in buckets.items():
         nbi = len(idxs)
-        nbp = bucket(nbi, 4)
+        nbp = max(bucket(nbi, 4), n_dev)
         K = min(CKPT_ROWS, M)
         Mp = -(-M // K) * K
         p = np.zeros((nbp, Mp, 5), dtype=np.float32)
@@ -201,17 +259,25 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
         pj = jnp.asarray(p)
         qj = jnp.asarray(q)
         qlj = jnp.asarray(q_len)
-        _, ck_h, ck_f = profile_forward_ckpt(
-            pj, qj, jnp.asarray(p_len), qlj, gap_open, gap_extend, K)
+        if mesh is not None:
+            fwd = _shard_forward(mesh, gap_open, gap_extend, K)
+            ptrs_fn = _shard_ptrs(mesh, gap_open, gap_extend)
+        else:
+            def fwd(p_, q_, pl_, ql_):
+                return profile_forward_ckpt(p_, q_, pl_, ql_,
+                                            gap_open, gap_extend, K)
+
+            def ptrs_fn(*a):
+                return profile_block_ptrs(*a, gap_open, gap_extend)
+        _, ck_h, ck_f = fwd(pj, qj, jnp.asarray(p_len), qlj)
         ext_p = gap_extend * (1.0 - pj[:, :, GAP_CODE])
 
         def fetch(bi, pj=pj, qj=qj, qlj=qlj, ck_h=ck_h, ck_f=ck_f,
-                  ext_p=ext_p, K=K, N=N):
+                  ext_p=ext_p, K=K, N=N, ptrs_fn=ptrs_fn):
             from libmems_tpu.ops.gapped import pack_ptrs, unpack_ptrs
-            return unpack_ptrs(np.asarray(pack_ptrs(profile_block_ptrs(
+            return unpack_ptrs(np.asarray(pack_ptrs(ptrs_fn(
                 ck_h[bi], ck_f[bi], pj[:, bi * K:(bi + 1) * K],
-                ext_p[:, bi * K:(bi + 1) * K], qj, qlj,
-                gap_open, gap_extend))), N + 1)
+                ext_p[:, bi * K:(bi + 1) * K], qj, qlj))), N + 1)
 
         tb = traceback_blocks(fetch, Mp // K, K, p_len, q_len)
         for r, k in enumerate(idxs):

@@ -126,6 +126,27 @@ def sharded_mum_seed_count(keys: jax.Array, gid: jax.Array, pos: jax.Array,
     return census(content, g, p)
 
 
+def shard_loads(keys: jax.Array, gid: jax.Array, pos: jax.Array,
+                mesh: Mesh, weight: int) -> np.ndarray:
+    """Per-shard received row counts after prefix routing — the load-
+    balance diagnostic for the Fibonacci-mixed bucket assignment
+    (_bucket_of).  Returns int64[n_dev] non-sentinel rows per shard."""
+    n_dev = mesh.devices.size
+    sentinel = jnp.array(~jnp.zeros((), keys.dtype), keys.dtype)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=P(SHARD_AXIS))
+    def route(k, g, p):
+        (rcontent, _, _, _), _ = _route_local(
+            k, g, p, weight, n_dev, sentinel, send_cap=k.shape[0])
+        sentinel_content = sentinel >> 1
+        return jnp.sum(rcontent != sentinel_content)[None]
+
+    return np.asarray(route(keys, gid, pos)).astype(np.int64)
+
+
 def _route_local(k, g, p, weight: int, n_dev: int, sentinel,
                  send_cap: int | None = None):
     """Shard-local body of the prefix routing: order rows by destination

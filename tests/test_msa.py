@@ -154,3 +154,27 @@ def test_ascii_codes_roundtrip():
     rows = np.stack([arow("AC-T"), arow("GGGG")])
     back = codes_rows_to_ascii(ascii_rows_to_codes(rows))
     assert (back == rows).all()
+
+
+def test_profile_dp_sharded_matches_single_device():
+    """The window-batch DP sharded over the 8-device mesh (shard_map on
+    the batch axis) must be bit-identical to single-device execution
+    (VERDICT r2 item 3d; AlignLCBInParallel parallelism on the mesh)."""
+    import jax
+    import numpy as np
+    from libmems_tpu.ops.profile import align_profile_batch, dp_mesh
+
+    assert jax.device_count() >= 2
+    assert dp_mesh() is not None
+    rng = np.random.default_rng(31)
+    p_rows, q_rows = [], []
+    for _ in range(19):   # odd count: exercises batch padding
+        cp = int(rng.integers(5, 120))
+        cq = int(rng.integers(5, 120))
+        p_rows.append(rng.integers(0, 5, size=(2, cp)).astype(np.uint8))
+        q_rows.append(rng.integers(0, 5, size=(1, cq)).astype(np.uint8))
+    sharded = align_profile_batch(p_rows, q_rows)          # auto mesh
+    single = align_profile_batch(p_rows, q_rows, mesh=None)
+    assert len(sharded) == len(single)
+    for a, b in zip(sharded, single):
+        assert np.array_equal(a, b)
