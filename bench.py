@@ -187,11 +187,18 @@ def main():
         _stage_table(smls, CHUNK, EC)
     print(f"# device {dt * 1000:.1f} ms/iter, n_reps={n_reps}, "
           f"cpu twin {cpu_bps / 1e6:.2f} Mbases/s", file=sys.stderr)
+    # ONE source of truth (VERDICT r2 item 9): `value` is the fetch-
+    # synchronized figure (result scalars read back to host — what a
+    # caller actually observes); README/PERF tables quote these fields
+    # verbatim, never a separately-measured number.
     print(json.dumps({
         "metric": "mum_find_bases_per_s",
         "value": round(bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(bps / cpu_bps, 3),
+        "ms_per_iter_fetch_sync": round(dt * 1000, 1),
+        "bases": bases,
+        "cpu_twin_bases_per_s": round(cpu_bps, 1),
     }))
 
 

@@ -82,25 +82,29 @@ def _interval_participation(ivs: IntervalList, params: HmmParams | None,
     if params is None:
         params = adapted_hoxd_params(compute_gc(genomes))
 
+    from libmems_tpu import trace
     jobs = []
     job_meta = []
     rendered = []
-    for ivI, iv in enumerate(ivs.intervals):
-        rows = iv.render(genomes)
-        rendered.append(rows)
-        present = [g for g in range(G) if int(iv.left_ends()[g]) != 0]
-        if len(present) < 2:
-            continue
-        for a in range(len(present)):
-            for b in range(a + 1, len(present)):
-                pa, pb = present[a], present[b]
-                for seg in find_big_gaps(rows[pa], rows[pb], pa, pb,
-                                         big_gap_size):
-                    lo, hi = seg.left_col, seg.right_col + 1
-                    jobs.append((rows[pa][lo:hi], rows[pb][lo:hi],
-                                 pa, pb))
-                    job_meta.append((ivI, lo))
-    all_hss = find_hss_homology_batch(jobs, params)
+    with trace.stage("bb_encode"):
+        for ivI, iv in enumerate(ivs.intervals):
+            rows = iv.render(genomes)
+            rendered.append(rows)
+            present = [g for g in range(G)
+                       if int(iv.left_ends()[g]) != 0]
+            if len(present) < 2:
+                continue
+            for a in range(len(present)):
+                for b in range(a + 1, len(present)):
+                    pa, pb = present[a], present[b]
+                    for seg in find_big_gaps(rows[pa], rows[pb], pa, pb,
+                                             big_gap_size):
+                        lo, hi = seg.left_col, seg.right_col + 1
+                        jobs.append((rows[pa][lo:hi], rows[pb][lo:hi],
+                                     pa, pb))
+                        job_meta.append((ivI, lo))
+    with trace.stage("bb_hmm"):
+        all_hss = find_hss_homology_batch(jobs, params)
 
     per_iv_part: dict[int, np.ndarray] = {}
     for hss_list, (ivI, off) in zip(all_hss, job_meta):

@@ -1186,22 +1186,28 @@ def _fused_pairwise_pipeline(seed_len: int, chunk: int, G: int,
     leftB = jnp.where(r_fwd, posB_rep, r_delta - last_posA)
     leftB = jnp.maximum(leftB, 0)
 
+    # extension in COMPACT pair layout: each row addresses its two
+    # member genomes through per-row (offset, count) tables, so the
+    # probe tensors are [EC, 2, C] regardless of G — 2/G the probe
+    # traffic and O(1)-in-G HLO (the [EC, G] layout at G=9 was ~4.5x
+    # the work and the compile)
     rows_i = jnp.arange(EC, dtype=jnp.int32)
-    lefts = jnp.zeros((EC, G), jnp.int32) \
-        .at[rows_i, r_a].set(r_posA) \
-        .at[rows_i, r_b].set(leftB)
-    present = (jnp.zeros((EC, G), bool)
-               .at[rows_i, r_a].set(True)
-               .at[rows_i, r_b].set(True)) & e_valid[:, None]
-    is_fwd = jnp.ones((EC, G), bool).at[rows_i, r_b].set(r_fwd)
-    lefts = jnp.where(present, lefts, 0)
-    lefts, lengths = extend_matches(
-        keys_posorder, seed_len, chunk,
-        jnp.broadcast_to(gen_off, (EC, G)),
-        jnp.broadcast_to(gen_cnt, (EC, G)),
-        lefts, present, is_fwd, lengths0)
-    sign = jnp.where(is_fwd, 1, -1)
-    out_starts = jnp.where(present, sign * (lefts + 1), 0)
+    lefts2 = jnp.stack([r_posA, leftB], axis=1)
+    present2 = jnp.broadcast_to(e_valid[:, None], (EC, 2))
+    is_fwd2 = jnp.stack([jnp.ones((EC,), bool), r_fwd], axis=1)
+    gen_off2 = jnp.stack([gen_off[r_a], gen_off[r_b]], axis=1)
+    gen_cnt2 = jnp.stack([gen_cnt[r_a], gen_cnt[r_b]], axis=1)
+    lefts2 = jnp.where(present2, lefts2, 0)
+    lefts2, lengths = extend_matches(
+        keys_posorder, seed_len, chunk, gen_off2, gen_cnt2,
+        lefts2, present2, is_fwd2, lengths0)
+    signB = jnp.where(r_fwd, 1, -1)
+    startA = jnp.where(e_valid, lefts2[:, 0] + 1, 0)
+    startB = jnp.where(e_valid, signB * (lefts2[:, 1] + 1), 0)
+    out_starts = jnp.zeros((EC, G), jnp.int32) \
+        .at[rows_i, r_a].set(startA) \
+        .at[rows_i, r_b].set(startB)
+    out_starts = jnp.where(e_valid[:, None], out_starts, 0)
 
     # dedup: lexicographic sort of (starts..., length), mark first of run
     sort_ops = tuple(out_starts[:, g] for g in range(G)) + (

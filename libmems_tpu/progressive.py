@@ -662,32 +662,34 @@ def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
     scored sum-of-pairs GBE, then (optionally) the anchoring convergence
     loop — per-pair gap re-search adds anchors and selection repeats
     while the anchoring score improves by >0.5% (PA.cpp:2384)."""
-    anchors = project_matches(matches, scores, aln1, aln2)
-    anchors = _prune_column_conflicts(aln1, aln2, anchors)
-    penalties = _pair_penalties(aln1, aln2, bp_penalty,
-                                bp_weights, cons_weights)
-    sel, score = _select_anchors_sp(anchors, aln1, aln2, penalties)
-    lcb_groups = _group_anchors(sel)
+    with trace.stage("anchor_select"):
+        anchors = project_matches(matches, scores, aln1, aln2)
+        anchors = _prune_column_conflicts(aln1, aln2, anchors)
+        penalties = _pair_penalties(aln1, aln2, bp_penalty,
+                                    bp_weights, cons_weights)
+        sel, score = _select_anchors_sp(anchors, aln1, aln2, penalties)
+        lcb_groups = _group_anchors(sel)
     if gap_search and seed is not None:
         for _ in range(max(0, max_anchor_rounds - 1)):
-            new_ma, new_sc = _recurse_on_pairs(
-                lcb_groups, aln1, aln2, genomes, seed, codes, sols,
-                min_gap_search, seed_families)
-            if new_ma is None:
-                break
-            new_anchors = project_matches(new_ma, new_sc, aln1, aln2)
-            if not new_anchors:
-                break
-            combined = _prune_column_conflicts(aln1, aln2,
-                                               sel + new_anchors)
-            sel2, score2 = _select_anchors_sp(combined, aln1, aln2,
-                                              penalties)
-            # stop unless the anchoring score improved by >= 0.5%
-            # (ProgressiveAligner.cpp:2384)
-            if score2 <= score + abs(score) / 200.0:
-                break
-            sel, score = sel2, score2
-            lcb_groups = _group_anchors(sel)
+            with trace.stage("gap_rounds"):
+                new_ma, new_sc = _recurse_on_pairs(
+                    lcb_groups, aln1, aln2, genomes, seed, codes, sols,
+                    min_gap_search, seed_families)
+                if new_ma is None:
+                    break
+                new_anchors = project_matches(new_ma, new_sc, aln1, aln2)
+                if not new_anchors:
+                    break
+                combined = _prune_column_conflicts(aln1, aln2,
+                                                   sel + new_anchors)
+                sel2, score2 = _select_anchors_sp(combined, aln1, aln2,
+                                                  penalties)
+                # stop unless the anchoring score improved by >= 0.5%
+                # (ProgressiveAligner.cpp:2384)
+                if score2 <= score + abs(score) / 200.0:
+                    break
+                sel, score = sel2, score2
+                lcb_groups = _group_anchors(sel)
 
     leaf_ids = aln1.leaf_ids + aln2.leaf_ids
     G1, G2 = len(aln1.leaf_ids), len(aln2.leaf_ids)
@@ -713,16 +715,18 @@ def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
 
     # run every DP window in one batch
     if gap_jobs:
-        p_rows = []
-        q_rows = []
-        for s1, s2 in gap_jobs:
-            p_rows.append(ascii_rows_to_codes(s1.render(
-                [genomes[g] for g in aln1.leaf_ids])))
-            q_rows.append(ascii_rows_to_codes(s2.render(
-                [genomes[g] for g in aln2.leaf_ids])))
-        merged_rows = align_profile_batch(p_rows, q_rows)
-        gap_results = [merge_from_rows(s1, s2, rows, G1)
-                       for (s1, s2), rows in zip(gap_jobs, merged_rows)]
+        with trace.stage("node_dp"):
+            p_rows = []
+            q_rows = []
+            for s1, s2 in gap_jobs:
+                p_rows.append(ascii_rows_to_codes(s1.render(
+                    [genomes[g] for g in aln1.leaf_ids])))
+                q_rows.append(ascii_rows_to_codes(s2.render(
+                    [genomes[g] for g in aln2.leaf_ids])))
+            merged_rows = align_profile_batch(p_rows, q_rows)
+            gap_results = [merge_from_rows(s1, s2, rows, G1)
+                           for (s1, s2), rows in zip(gap_jobs,
+                                                     merged_rows)]
     else:
         gap_results = []
 

@@ -353,12 +353,47 @@ class SortedMerList:
         return SortedMerList.load(sml_path)
 
     @staticmethod
+    def create_with_fallback(genome_or_codes, seed: int,
+                             sml_path: str | os.PathLike | None = None,
+                             circular: bool = False,
+                             scratch_dir: str | None = None
+                             ) -> "SortedMerList":
+        """In-memory device build, falling back to the out-of-core path
+        when the device (or host) allocator gives out — the reference's
+        RAM-first, dmSML-on-bad_alloc policy (FileSML::Create catching
+        bad_alloc -> dmCreate, libMems/FileSML.cpp:316-374)."""
+        import tempfile
+        try:
+            sml = SortedMerList.create(genome_or_codes, seed,
+                                       circular=circular)
+            if sml_path is not None:
+                sml.save(sml_path)
+            return sml
+        except (MemoryError, Exception) as e:
+            msg = str(e)
+            oom = isinstance(e, MemoryError) or \
+                "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
+                or "out of memory" in msg
+            if not oom:
+                raise
+        if sml_path is None:
+            tmp = tempfile.NamedTemporaryFile(suffix=".sml", delete=False,
+                                              dir=scratch_dir)
+            tmp.close()
+            sml_path = tmp.name
+        return SortedMerList.create_big(genome_or_codes, seed,
+                                        os.fspath(sml_path),
+                                        scratch_dir=scratch_dir,
+                                        circular=circular)
+
+    @staticmethod
     def load_or_create(genome: Genome, seed: int,
                        sml_path: str | os.PathLike | None = None,
                        circular: bool = False) -> "SortedMerList":
         """Load the SML if present with a matching seed, else (re)create —
         MatchList::LoadSMLs semantics (libMems/MatchList.h:261-349,
-        seed-mismatch recreate h:297-302)."""
+        seed-mismatch recreate h:297-302).  Creation falls back to the
+        out-of-core sorter on allocator exhaustion."""
         if sml_path is not None and os.path.exists(sml_path):
             try:
                 sml = SortedMerList.load(sml_path)
@@ -366,10 +401,8 @@ class SortedMerList:
                     return sml
             except (ValueError, OSError):
                 pass
-        sml = SortedMerList.create(genome, seed, circular=circular)
-        if sml_path is not None:
-            sml.save(sml_path)
-        return sml
+        return SortedMerList.create_with_fallback(
+            genome, seed, sml_path=sml_path, circular=circular)
 
 
 def default_seed(genomes: list[Genome], seed_rank: int = 0) -> int:

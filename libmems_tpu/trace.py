@@ -27,6 +27,7 @@ import time
 from dataclasses import dataclass, field
 
 _enabled = os.environ.get("LIBMEMS_TPU_TRACE", "") == "1"
+_mem_enabled = os.environ.get("LIBMEMS_TPU_TRACE_MEM", "") == "1"
 _stream = sys.stderr
 
 
@@ -75,6 +76,8 @@ def stage(name: str):
         rec.calls += 1
         _stack.pop()
         print(f"[libmems_tpu] {name}: {dt:.3f}s", file=_stream, flush=True)
+        if _mem_enabled:
+            print_mem_usage(name)
 
 
 def progress(name: str, done: int, total: int, min_interval: float = 1.0):
@@ -120,3 +123,23 @@ def mem_usage_mb() -> float:
     except OSError:
         pass
     return 0.0
+
+
+def device_mem_mb() -> float:
+    """Live device-array bytes in MB (the HBM side of printMemUsage:
+    sum over jax.live_arrays of on-device sizes)."""
+    try:
+        import jax
+        return sum(a.nbytes for a in jax.live_arrays()) / (1 << 20)
+    except Exception:
+        return 0.0
+
+
+def print_mem_usage(label: str = "", stream=None):
+    """printMemUsage() analog (libMems/Memory.h): one line with host
+    RSS and live device-array footprint.  Used by the stage tracer when
+    LIBMEMS_TPU_TRACE_MEM=1, and callable directly."""
+    out = stream or _stream
+    print(f"[libmems_tpu] mem{' ' + label if label else ''}: "
+          f"host {mem_usage_mb():.0f} MB, device {device_mem_mb():.0f} MB",
+          file=out, flush=True)

@@ -161,3 +161,34 @@ def test_big_create_py_masks_windows(tmp_path):
     assert np.array_equal(np.asarray(sml.keys), np.asarray(ref.keys))
     assert np.array_equal(np.asarray(sml.sorted_positions),
                           np.asarray(ref.sorted_positions))
+
+
+def test_create_with_fallback_on_oom(tmp_path, monkeypatch):
+    """Allocator exhaustion falls back to the out-of-core build
+    (FileSML bad_alloc -> dmCreate policy, FileSML.cpp:316-374)."""
+    rng = np.random.default_rng(17)
+    g = Genome("g", rng.choice(list(b"ACGT"), size=5000).astype(np.uint8))
+    seed = seeds.get_seed(11, 0)
+    ref = SortedMerList.create(g, seed)
+
+    real_create = SortedMerList.create
+
+    def oom_create(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in hbm")
+
+    monkeypatch.setattr(SortedMerList, "create", staticmethod(oom_create))
+    sml = SortedMerList.create_with_fallback(
+        g, seed, sml_path=str(tmp_path / "g.sml"))
+    monkeypatch.setattr(SortedMerList, "create",
+                        staticmethod(real_create))
+    assert np.array_equal(np.asarray(sml.keys), np.asarray(ref.keys))
+    assert np.array_equal(np.asarray(sml.sorted_positions),
+                          np.asarray(ref.sorted_positions))
+
+
+def test_trace_mem_usage(capsys):
+    from libmems_tpu import trace
+    import sys
+    trace.print_mem_usage("unit", stream=sys.stderr)
+    err = capsys.readouterr().err
+    assert "host" in err and "device" in err
