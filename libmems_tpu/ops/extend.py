@@ -53,6 +53,11 @@ ROW_BLOCK = 4096   # rows extended per sequential block (bounds HBM live set)
 ESCALATE = 8       # long-match probe window = ESCALATE * chunk
 FETCH = "rows"     # span fetch strategy: "rows" (128-lane row gather +
                    # barrel shift) or "slice" (batched dynamic_slice)
+# skip the lax.map row-blocking below this probe live set (elements of
+# R*G*max_chunk): the map wrapper costs ~200s of remote-TPU compile
+# (measured: 260.6s with it, 63.8s without, same kernel), and a probe
+# set under ~2 GB fits HBM comfortably without it
+ROW_BLOCK_THRESHOLD = 1 << 29
 
 
 def _fetch_spans(keys_padded, span_start, C: int):
@@ -101,7 +106,8 @@ def extend_matches(
     if chunk < seed_len:
         raise ValueError("chunk must be >= seed_len")
     R_all, G = lefts.shape
-    if R_all > ROW_BLOCK:
+    if R_all > ROW_BLOCK and \
+            R_all * G * ESCALATE * chunk > ROW_BLOCK_THRESHOLD:
         nb = -(-R_all // ROW_BLOCK)
         pad = nb * ROW_BLOCK - R_all
 
@@ -124,11 +130,7 @@ def extend_matches(
 
 def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
                   lefts, present, is_fwd, lengths):
-    R, G = lefts.shape
     big = ESCALATE * chunk
-
-    ref_idx = jnp.argmax(present, axis=1).astype(jnp.int32)
-    fwd_flip = is_fwd.astype(keys_concat.dtype)  # parity adjustment bit
 
     # Sentinel-pad the key table by one max-chunk on each side so probe
     # spans never need clamping (sentinel reads are masked by `valid`);
@@ -140,7 +142,46 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
         jnp.full((big,), fill, keys_concat.dtype), keys_concat,
         jnp.full((tail,), fill, keys_concat.dtype)])
 
-    def probe_round(side, C, lefts, lengths, active):
+    def fetch(span_start, C, aux):
+        return _fetch_spans(keys_padded, span_start, C), aux
+
+    lefts, lengths, _ = extend_core(
+        fetch, keys_concat.dtype, seed_len, chunk, gen_off, gen_cnt,
+        lefts, present, is_fwd, lengths)
+    return lefts, lengths
+
+
+def extend_core(fetch, key_dtype, seed_len: int, chunk: int,
+                gen_off, gen_cnt, lefts, present, is_fwd, lengths,
+                any_reduce=None, max_chunk: int | None = None,
+                aux0=0):
+    """The probe-round state machine with a pluggable span fetch.
+
+    `fetch(span_start int32[R], C, aux) -> (keys[R, C], aux)` reads C
+    consecutive keys starting at each PADDED global index (offset `big`
+    before the first real key; out-of-table reads must return the
+    all-ones sentinel).  The local path closes over the padded key
+    table; the sharded path (libmems_tpu.parallel.shard) serves spans
+    from position-tile owners via an all_to_all request/response, so no
+    device ever holds the whole table.  `aux` is fetch-private state
+    threaded through every probe round (e.g. an overflow counter) —
+    it must be a fixed-structure pytree.
+
+    `any_reduce(bool[...]) -> bool[...]` combines the keep-probing
+    predicate; a distributed caller passes a psum-based reduction so
+    every device runs the same number of while-loop rounds.  Returns
+    (lefts, lengths, aux)."""
+    R, G = lefts.shape
+    big = ESCALATE * chunk if max_chunk is None else max_chunk
+    if any_reduce is None:
+        def any_reduce(x):
+            return jnp.any(x)
+
+    ref_idx = jnp.argmax(present, axis=1).astype(jnp.int32)
+    fwd_flip = is_fwd.astype(key_dtype)  # parity adjustment bit
+    fill = ~jnp.zeros((), key_dtype)
+
+    def probe_round(side, C, lefts, lengths, active, aux):
         # G is static and small: unroll the genome axis so every probe
         # tensor is (R, C) — second-minor R in sublanes, C in lanes, no
         # sublane padding (an (R, G, C) layout pads G=2 up to 8 sublanes
@@ -164,7 +205,7 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
             q = jnp.where(fwd, back_q if side == 0 else ahead_q,
                           ahead_q if side == 0 else back_q)   # (R, C)
             valid_g.append((q >= 0) & (q < gen_cnt[:, g:g + 1]))
-            sl = _fetch_spans(keys_padded, span_start_all[:, g], C)
+            sl, aux = fetch(span_start_all[:, g], C, aux)
             # backward: d -> slice[C-d] = reversed[d-1]; ahead: d -> slice[d-1]
             kg = jnp.where(is_back_all[:, g:g + 1], sl[:, ::-1], sl)
             keys_g.append(kg ^ fwd_flip[:, g:g + 1])
@@ -177,7 +218,7 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
         # carry ~0, whose low bit may be flipped by the parity XOR) can
         # never participate in a match — without this, two N-runs at
         # compatible diagonals would extend through each other
-        one = jnp.ones((), keys_concat.dtype)
+        one = jnp.ones((), key_dtype)
         for g in range(G):
             not_sent = (keys_g[g] | one) != fill
             ok = valid_g[g] & (keys_g[g] == ref_keys) & not_sent
@@ -207,27 +248,28 @@ def _extend_block(keys_concat, seed_len: int, chunk: int, gen_off, gen_cnt,
                          ahead_room if side == 0 else back_room)
         room = jnp.min(jnp.where(present, room, jnp.int32(2**30)), axis=1)
         active = active & (reach + seed_len > C) & (room + reach > C)
-        return lefts, lengths, active
+        return lefts, lengths, active, aux
 
-    def run_side(side, lefts, lengths):
+    def run_side(side, lefts, lengths, aux):
         active0 = jnp.any(present, axis=1)
         # one round at the base chunk retires the short-match bulk ...
-        lefts, lengths, active = probe_round(side, chunk, lefts, lengths,
-                                             active0)
+        lefts, lengths, active, aux = probe_round(
+            side, chunk, lefts, lengths, active0, aux)
 
-        # ... surviving long matches escalate to an 8x window
+        # ... surviving long matches escalate to the max window
         def cond(carry):
-            _, _, active = carry
-            return jnp.any(active)
+            _, _, active, _ = carry
+            return any_reduce(active)
 
         def body(carry):
-            lefts, lengths, active = carry
-            return probe_round(side, big, lefts, lengths, active)
+            lefts, lengths, active, aux = carry
+            return probe_round(side, big, lefts, lengths, active, aux)
 
-        lefts, lengths, _ = jax.lax.while_loop(
-            cond, body, (lefts, lengths, active))
-        return lefts, lengths
+        lefts, lengths, _, aux = jax.lax.while_loop(
+            cond, body, (lefts, lengths, active, aux))
+        return lefts, lengths, aux
 
-    lefts, lengths = run_side(0, lefts, lengths)
-    lefts, lengths = run_side(1, lefts, lengths)
-    return lefts, lengths
+    aux = jax.tree_util.tree_map(jnp.asarray, aux0)
+    lefts, lengths, aux = run_side(0, lefts, lengths, aux)
+    lefts, lengths, aux = run_side(1, lefts, lengths, aux)
+    return lefts, lengths, aux

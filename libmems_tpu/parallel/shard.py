@@ -350,6 +350,238 @@ def _sharded_find_mums_once(smls, mesh: Mesh, capacity: int,
     return ma.dedup().canonical_sort(), 0, 0
 
 
+# ---------------------------------------------------------------------------
+# tiled-extension sharded pipeline: O(total/n_dev) per-device memory
+# ---------------------------------------------------------------------------
+
+def _dist_fetch_factory(tile_halo, tile_size: int, n_dev: int,
+                        req_cap: int):
+    """Span fetch for ops.extend.extend_core served by position-tile
+    owners (SURVEY M7 halo exchange, generalized): the padded global key
+    table is tiled over the mesh; each probe round routes (row, start)
+    requests to the owner of `start // tile_size` with one all_to_all,
+    owners slice [start, start+C) from their tile+halo, and a second
+    all_to_all returns the spans.  The halo (max probe window + one
+    lane row) makes every span whose START lies in a tile fully local
+    to its owner.  Per-destination request capacity is fixed; overflow
+    is counted into dropped_box for a host-side retry (a dropped
+    request yields sentinel keys = a conservatively short match, never
+    a wrong one — the retry restores exactness)."""
+    from libmems_tpu.ops.extend import _fetch_spans
+
+    my = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    base = my * tile_size
+    sentinel_row = ~jnp.zeros((), tile_halo.dtype)
+
+    def fetch(span_start, C, aux):
+        R = span_start.shape[0]
+        rows = jnp.arange(R, dtype=jnp.int32)
+        dest = jnp.clip(span_start // tile_size, 0, n_dev - 1) \
+            .astype(jnp.int32)
+        d_s, start_s, row_s = jax.lax.sort(
+            (dest, span_start, rows), num_keys=2, is_stable=False)
+        sc = seg.run_starts(d_s)
+        idx_in = rows - seg.start_index(sc)
+        over = idx_in >= req_cap
+        aux = aux + jnp.sum(over.astype(jnp.int32))
+        slot = jnp.where(over, req_cap, idx_in)
+        send = jnp.full((n_dev, req_cap + 1), -1, jnp.int32) \
+            .at[d_s, slot].set(start_s, mode="drop")[:, :req_cap]
+        req = jax.lax.all_to_all(send, SHARD_AXIS, 0, 0, tiled=False)
+        local = req.reshape(-1) - base
+        junk = (local < 0) | (local >= tile_size)
+        served = _fetch_spans(tile_halo,
+                              jnp.where(junk, 0, local).astype(jnp.int32),
+                              C)
+        served = jnp.where(junk[:, None], sentinel_row, served)
+        served = served.reshape(n_dev, req_cap, C)
+        resp = jax.lax.all_to_all(served, SHARD_AXIS, 0, 0, tiled=False)
+        flat = resp.reshape(n_dev * req_cap, C)
+        safe_slot = jnp.minimum(d_s * req_cap + idx_in,
+                                n_dev * req_cap - 1)
+        spans_sorted = jnp.where(over[:, None], sentinel_row,
+                                 flat[safe_slot])
+        _, inv = jax.lax.sort((row_s, rows), num_keys=1, is_stable=False)
+        return spans_sorted[inv], aux
+
+    return fetch
+
+
+def build_position_tiles(keys_concat: np.ndarray, n_dev: int,
+                         max_chunk: int):
+    """Host-side construction of the padded, tiled key table.
+
+    The padded global space is [sentinel*max_chunk | keys | sentinel
+    tail] rounded so tile_size is a multiple of 128; device d's slice is
+    padded[d*S : (d+1)*S + halo] (halo = max_chunk + 128 so any span
+    starting inside a tile is owner-local).  Returns (tiles [n_dev,
+    S+halo], tile_size S, big_offset)."""
+    big = max_chunk
+    Ntot = len(keys_concat)
+    halo = max_chunk + 128
+    S = -(-(big + Ntot + halo) // n_dev)
+    S += (-S) % 128
+    total = n_dev * S + halo
+    sentinel = np.array(~keys_concat.dtype.type(0), keys_concat.dtype)
+    padded = np.full(total, sentinel, keys_concat.dtype)
+    padded[big:big + Ntot] = keys_concat
+    tiles = np.stack([padded[d * S: d * S + S + halo]
+                      for d in range(n_dev)])
+    return tiles, S, big
+
+
+def sharded_find_mums_tiled(smls, mesh: Mesh, capacity: int | None = None,
+                            chunk: int | None = None,
+                            repeat_limit: int = 1000,
+                            route_cap: int | None = None,
+                            req_cap: int | None = None,
+                            max_retries: int = 4):
+    """sharded_find_mums with the position-tiled extension: NO device
+    holds the full key table — enumeration reads content-routed rows,
+    extension reads position-tile spans via the request/response
+    all_to_all (_dist_fetch_factory).  Per-device memory is
+    O(total/n_dev) end to end (VERDICT r2 item 3a / SURVEY M7)."""
+    n_dev = mesh.devices.size
+    total0 = sum(s.n_windows for s in smls)
+    total = total0 + ((-total0) % n_dev)
+    if capacity is None:
+        capacity = max(256, 1 << (total // n_dev - 1).bit_length())
+    if route_cap is None:
+        route_cap = max(256, 2 * (-(-total // n_dev) // n_dev))
+    if req_cap is None:
+        req_cap = max(128, 4 * (-(-capacity // n_dev)))
+    last = None
+    for _ in range(max_retries + 1):
+        ma, dropped, cand_over, fetch_drop = _sharded_tiled_once(
+            smls, mesh, capacity, chunk, repeat_limit, route_cap,
+            req_cap)
+        if dropped == 0 and cand_over == 0 and fetch_drop == 0:
+            return ma
+        if dropped:
+            route_cap *= 2
+        if cand_over:
+            capacity *= 2
+        if fetch_drop:
+            req_cap *= 2
+        last = (dropped, cand_over, fetch_drop)
+    raise ValueError(
+        f"sharded_find_mums_tiled still overflowing after {max_retries} "
+        f"retries {last}; capacity={capacity}, route_cap={route_cap}, "
+        f"req_cap={req_cap}")
+
+
+def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
+                        chunk: int | None, repeat_limit: int,
+                        route_cap: int, req_cap: int):
+    from libmems_tpu.match import MatchArray
+    from libmems_tpu.ops.extend import ESCALATE, extend_core
+
+    n_dev = mesh.devices.size
+    G = len(smls)
+    seed_len = smls[0].seed_length
+    weight = smls[0].seed_weight
+    if chunk is None:
+        chunk = max(seed_len, 128)
+    max_chunk = ESCALATE * chunk
+
+    cnts_np = np.array([s.n_windows for s in smls], np.int32)
+    offs_np = np.concatenate([[0], np.cumsum(cnts_np)[:-1]]).astype(np.int32)
+    keys_np = np.concatenate([np.asarray(s.keys) for s in smls])
+    tiles_np, tile_size, big = build_position_tiles(keys_np, n_dev,
+                                                    max_chunk)
+    gid = np.concatenate([np.full(c, i, np.int32)
+                          for i, c in enumerate(cnts_np)])
+    pos = np.concatenate([np.arange(c, dtype=np.int32) for c in cnts_np])
+    keys, gid, pos = pad_table_for_mesh(keys_np, gid, pos, n_dev)
+    sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(),
+                   P(), P()))
+    def step(k, g, p, tile, offs, cnts):
+        tile = tile[0]
+        sentinel = jnp.array(sentinel_val, k.dtype)
+        (content, rg, rp, rstrand), dropped = _route_local(
+            k, g, p, weight, n_dev, sentinel, send_cap=route_cap)
+        sentinel_content = sentinel >> 1
+        sc = seg.run_starts(content)
+        scg = seg.run_starts(content, rg)
+        subrun_len = seg.run_lengths(scg)
+        max_subrun = seg.segment_max_broadcast(subrun_len, sc)
+        ngids = seg.segment_sum_broadcast(scg.astype(jnp.int32), sc)
+        runlen = seg.run_lengths(sc)
+        keep_run = (ngids >= 2) & (max_subrun <= 1) \
+            & (runlen <= repeat_limit) & (content != sentinel_content)
+        kept_occ = scg & keep_run
+        rid_at_start = jnp.cumsum((sc & keep_run).astype(jnp.int32)) - 1
+        row_id = rid_at_start[seg.start_index(sc)]
+        ref_strand = rstrand[seg.start_index(sc)]
+        n_rows = jnp.where(keep_run.any(), rid_at_start[-1] + 1, 0)
+
+        rid = jnp.where(kept_occ, jnp.minimum(row_id, capacity), capacity)
+        starts = jnp.zeros((capacity + 1, G), dtype=jnp.int32)
+        sign = jnp.where(rstrand == ref_strand, 1, -1).astype(jnp.int32)
+        starts = starts.at[rid, rg].set(sign * (rp + 1), mode="drop")
+        starts = starts[:capacity]
+        valid = jnp.arange(capacity) < jnp.minimum(n_rows, capacity)
+
+        present = (starts != 0) & valid[:, None]
+        lefts = jnp.where(present, jnp.abs(starts) - 1, 0)
+        is_fwd = starts > 0
+        lengths = jnp.full((capacity,), seed_len, dtype=jnp.int32)
+        lengths = jax.lax.pvary(lengths, (SHARD_AXIS,))
+
+        fetch = _dist_fetch_factory(tile, tile_size, n_dev, req_cap)
+
+        def any_reduce(x):
+            return jax.lax.psum(jnp.any(x).astype(jnp.int32),
+                                SHARD_AXIS) > 0
+
+        lefts, lengths, fdrop = extend_core(
+            fetch, tile.dtype, seed_len, chunk,
+            jnp.broadcast_to(offs, (capacity, G)),
+            jnp.broadcast_to(cnts, (capacity, G)),
+            lefts, present, is_fwd, lengths,
+            any_reduce=any_reduce, max_chunk=max_chunk,
+            aux0=jnp.zeros((), jnp.int32))
+
+        out_starts = jnp.where(present, jnp.sign(starts) * (lefts + 1), 0)
+        sort_ops = tuple(out_starts[:, gg] for gg in range(G)) + (
+            lengths, (~valid).astype(jnp.int32))
+        sorted_ops = jax.lax.sort(sort_ops, num_keys=G + 2,
+                                  is_stable=False)
+        srows = jnp.stack(sorted_ops[:G + 1], axis=1)
+        svalid = sorted_ops[G + 1] == 0
+        first = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.any(srows[1:] != srows[:-1], axis=1)])
+        uniq = svalid & first
+        dropped_sum = jax.lax.psum(dropped, SHARD_AXIS)
+        cand_over = jax.lax.psum(
+            jnp.maximum(n_rows - capacity, 0), SHARD_AXIS)
+        fetch_drop = jax.lax.psum(fdrop, SHARD_AXIS)
+        return (srows[None, :, :G], srows[None, :, G], uniq[None],
+                dropped_sum, cand_over, fetch_drop)
+
+    starts, lengths, valid, dropped, cand_over, fetch_drop = step(
+        jnp.asarray(keys), jnp.asarray(gid), jnp.asarray(pos),
+        jnp.asarray(tiles_np), jnp.asarray(offs_np),
+        jnp.asarray(cnts_np))
+    dropped, cand_over = int(dropped), int(cand_over)
+    fetch_drop = int(fetch_drop)
+    if dropped or cand_over or fetch_drop:
+        return None, dropped, cand_over, fetch_drop
+    starts = np.asarray(starts).reshape(-1, G)
+    lengths = np.asarray(lengths).reshape(-1)
+    valid = np.asarray(valid).reshape(-1)
+    ma = MatchArray(starts[valid].astype(np.int64),
+                    lengths[valid].astype(np.int64))
+    return ma.dedup().canonical_sort(), 0, 0, 0
+
+
 def pad_table_for_mesh(keys: np.ndarray, gid: np.ndarray, pos: np.ndarray,
                        n_devices: int):
     """Pad the global window table to a multiple of the mesh size with

@@ -59,3 +59,33 @@ def test_sharded_overflow_auto_retry(smls):
     got = sharded_find_mums(smls, make_mesh(4), capacity=256,
                             route_cap=256, max_retries=8)
     assert ref.key_set() == got.key_set()
+
+
+@pytest.fixture(scope="module")
+def small_smls():
+    seed = seedlib.get_seed(9, 0)
+    a = rng.integers(0, 4, size=6000).astype(np.uint8)
+    b = mutate(a, 0.02)
+    b = np.concatenate([b[3000:], (3 - b[:3000])[::-1]])
+    return [SortedMerList.create(x, seed) for x in (a, b)]
+
+
+def test_tiled_extension_parity(small_smls):
+    """Position-tiled extension (request/response span gather; no device
+    holds the full key table) matches the single-device path."""
+    from libmems_tpu.parallel.shard import sharded_find_mums_tiled
+    ref = find_mums(small_smls)
+    got = sharded_find_mums_tiled(small_smls, make_mesh(4),
+                                  capacity=2048)
+    assert ref.key_set() == got.key_set()
+
+
+def test_tiled_extension_req_cap_retry(small_smls):
+    """Undersized span-request capacity recovers by doubling (fetch
+    drops are counted and retried, never silently truncating matches)."""
+    from libmems_tpu.parallel.shard import sharded_find_mums_tiled
+    ref = find_mums(small_smls)
+    got = sharded_find_mums_tiled(small_smls, make_mesh(4),
+                                  capacity=2048, req_cap=32,
+                                  max_retries=8)
+    assert ref.key_set() == got.key_set()
