@@ -38,6 +38,14 @@ class CompactAlignment:
         self.bits = np.asarray(self.bits, dtype=bool)
         if self.bits.ndim != 2 or self.bits.shape[0] != self.starts.shape[0]:
             raise ValueError("CompactAlignment shape mismatch")
+        # lazy per-row prefix-sum cache (bits are never mutated after
+        # construction; the anchor-projection inner loop queries
+        # coordinates thousands of times per node merge, and
+        # recomputing the O(C) cumsum per query made projection
+        # quadratic — the reference caches the same index as
+        # CompactGappedAlignment's per-seq bit-count prefix)
+        self._cum_cache: dict = {}
+        self._lengths_cache = None
 
     @property
     def seq_count(self) -> int:
@@ -49,7 +57,9 @@ class CompactAlignment:
 
     def lengths(self) -> np.ndarray:
         """Characters consumed per row (Length(seqI))."""
-        return self.bits.sum(axis=1).astype(np.int64)
+        if self._lengths_cache is None:
+            self._lengths_cache = self.bits.sum(axis=1).astype(np.int64)
+        return self._lengths_cache
 
     def left_ends(self) -> np.ndarray:
         return np.abs(self.starts)
@@ -65,7 +75,11 @@ class CompactAlignment:
     # -- coordinate translation (SeqPosToColumn / ColumnToSeqPos) --------
 
     def _cum(self, g: int) -> np.ndarray:
-        return np.cumsum(self.bits[g])
+        cum = self._cum_cache.get(g)
+        if cum is None:
+            cum = np.cumsum(self.bits[g])
+            self._cum_cache[g] = cum
+        return cum
 
     def seq_pos_to_column(self, g: int, pos: np.ndarray) -> np.ndarray:
         """Sequence offsets (0-based, in row-reading order: left-to-right

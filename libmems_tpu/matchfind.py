@@ -1244,9 +1244,13 @@ def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
     pos_bits = max(max((s.n_windows for s in smls), default=1)
                    .bit_length(), 8)
     rid_bits = (2 * total + 1).bit_length()   # covers bucket padding
+    # cluster word: fwd(1) | pair_id(pair_bits) | delta(pos_bits+2) |
+    # posA(pos_bits) — matches _fused_pairwise_pipeline's layout exactly
+    # (an earlier check over-counted by pos_bits and silently pushed
+    # genome-scale multi-genome runs onto the host fallback)
+    pair_bits = 2 * max(G - 1, 1).bit_length()
     fits = (rid_bits + 6 + pos_bits + 1 <= 63
-            and 1 + 2 * max(G - 1, 1).bit_length()
-            + 2 * pos_bits + 2 + pos_bits <= 64
+            and 1 + pair_bits + 2 * pos_bits + 2 <= 64
             and G <= 63)
     if extend and fits and (G - 1) * total <= _PAIRWISE_FUSED_MAX_ROWS \
             and total > 0 and G <= 62:
