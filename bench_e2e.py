@@ -68,20 +68,30 @@ def phase_pair_to_xmfa(tmpdir):
     from libmems_tpu.sequence import Genome
 
     L = 4_600_000
-    a, b = _synthetic_pair(L)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genomes = [Genome(name="A", ascii=lut[a], codes=a),
-               Genome(name="B", ascii=lut[b], codes=b)]
-    t0 = time.perf_counter()
-    ivs, mums = align(genomes, AlignerConfig(gapped_alignment=True,
-                                             recursive=False))
-    write_xmfa(f"{tmpdir}/pair.xmfa", ivs)
-    dt = time.perf_counter() - t0
+
+    def run(rng_seed, out):
+        a, b = _synthetic_pair(L, rng_seed=rng_seed)
+        genomes = [Genome(name="A", ascii=lut[a], codes=a),
+                   Genome(name="B", ascii=lut[b], codes=b)]
+        t0 = time.perf_counter()
+        ivs, mums = align(genomes, AlignerConfig(gapped_alignment=True,
+                                                 recursive=False))
+        write_xmfa(out, ivs)
+        return time.perf_counter() - t0, ivs, mums
+
+    # first run pays per-process one-time costs (cached-executable
+    # loads); the second, on a DIFFERENT genome pair, is the marginal
+    # per-alignment cost a long-running service sees
+    dt1, ivs, mums = run(0, f"{tmpdir}/pair.xmfa")
+    dt2, _, _ = run(1, f"{tmpdir}/pair2.xmfa")
     print(json.dumps({
-        "metric": "pair_align_to_xmfa_s", "value": round(dt, 2),
+        "metric": "pair_align_to_xmfa_s", "value": round(dt1, 2),
         "unit": "s", "bases": 2 * L, "n_mums": len(mums),
         "n_intervals": len(ivs.intervals),
-        "bases_per_s": round(2 * L / dt, 1)}), flush=True)
+        "bases_per_s": round(2 * L / dt1, 1),
+        "marginal_s": round(dt2, 2),
+        "marginal_bases_per_s": round(2 * L / dt2, 1)}), flush=True)
 
 
 def phase_progressive_9(tmpdir, n=9, length=1_000_000):

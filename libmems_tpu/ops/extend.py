@@ -53,11 +53,14 @@ ROW_BLOCK = 4096   # rows extended per sequential block (bounds HBM live set)
 ESCALATE = 8       # long-match probe window = ESCALATE * chunk
 FETCH = "rows"     # span fetch strategy: "rows" (128-lane row gather +
                    # barrel shift) or "slice" (batched dynamic_slice)
-# skip the lax.map row-blocking below this probe live set (elements of
-# R*G*max_chunk): the map wrapper costs ~200s of remote-TPU compile
-# (measured: 260.6s with it, 63.8s without, same kernel), and a probe
-# set under ~2 GB fits HBM comfortably without it
-ROW_BLOCK_THRESHOLD = 1 << 29
+# NOTE on row blocking: the lax.map wrapper costs ~200s of remote-TPU
+# compile (260.6s vs 63.8s for the same kernel without it), but the
+# compile is one-time-per-shape (persistent cache, PERF.md rule 12)
+# while the block-skipping is a steady-state win every run: blocks
+# whose rows all finished skip their probe rounds entirely (measured
+# 7s vs 44s pair-e2e mum_find when a few long matches force many
+# escalated rounds).  Blocking therefore stays unconditional above
+# ROW_BLOCK rows.
 
 
 def _fetch_spans(keys_padded, span_start, C: int):
@@ -106,8 +109,7 @@ def extend_matches(
     if chunk < seed_len:
         raise ValueError("chunk must be >= seed_len")
     R_all, G = lefts.shape
-    if R_all > ROW_BLOCK and \
-            R_all * G * ESCALATE * chunk > ROW_BLOCK_THRESHOLD:
+    if R_all > ROW_BLOCK:
         nb = -(-R_all // ROW_BLOCK)
         pad = nb * ROW_BLOCK - R_all
 

@@ -258,20 +258,18 @@ def _fb_posterior_ckpt(obs: jax.Array, lengths: jax.Array,
     return jnp.moveaxis(posts.reshape(T, B), 0, 1)            # [B, T]
 
 
-def posterior_homologous(sequences: list[np.ndarray],
-                         params: HmmParams | None = None) -> list[np.ndarray]:
-    """Posterior P(homologous) per column for a batch of encoded symbol
-    sequences (uint8 codes 0..7).  Batched, padded to buckets; long
-    sequences run the checkpointed F/B, and each dispatch's B*T is
-    capped so the HBM live set stays bounded at any alignment length."""
+def _fb_batched(sequences, params, fetch):
+    """Shared bucketing/padding driver: `fetch(obs, lens, matrices, T)`
+    returns the per-dispatch host array; rows sliced back per input."""
     if params is None:
         params = hoxd_params()
-    ls, lt, lstop, le = (jnp.asarray(x) for x in _log_matrices(params))
+    mats = tuple(jnp.asarray(x) for x in _log_matrices(params))
     out: list = [None] * len(sequences)
+    empty: list[int] = []
     buckets: dict[int, list[int]] = {}
     for i, s in enumerate(sequences):
         if len(s) == 0:
-            out[i] = np.zeros(0, dtype=np.float32)
+            empty.append(i)
             continue
         T = max(64, 1 << (len(s) - 1).bit_length())
         buckets.setdefault(T, []).append(i)
@@ -285,26 +283,65 @@ def posterior_homologous(sequences: list[np.ndarray],
             for r, i in enumerate(part):
                 obs[r, :len(sequences[i])] = sequences[i]
                 lens[r] = len(sequences[i])
-            if T >= _FB_CKPT_MIN_T:
-                post = np.asarray(_fb_posterior_ckpt(
-                    jnp.asarray(obs), jnp.asarray(lens),
-                    ls, lt, lstop, le, FB_CKPT_COLS))
-            else:
-                post = np.asarray(_fb_posterior(
-                    jnp.asarray(obs), jnp.asarray(lens),
-                    ls, lt, lstop, le))
+            res = fetch(jnp.asarray(obs), jnp.asarray(lens), mats, T)
             for r, i in enumerate(part):
-                out[i] = post[r, :len(sequences[i])]
+                out[i] = res[r, :len(sequences[i])]
+    return out, empty
+
+
+def posterior_homologous(sequences: list[np.ndarray],
+                         params: HmmParams | None = None) -> list[np.ndarray]:
+    """Posterior P(homologous) per column for a batch of encoded symbol
+    sequences (uint8 codes 0..7).  Batched, padded to buckets; long
+    sequences run the checkpointed F/B, and each dispatch's B*T is
+    capped so the HBM live set stays bounded at any alignment length."""
+
+    def fetch(obs, lens, mats, T):
+        if T >= _FB_CKPT_MIN_T:
+            return np.asarray(_fb_posterior_ckpt(obs, lens, *mats,
+                                                 FB_CKPT_COLS))
+        return np.asarray(_fb_posterior(obs, lens, *mats))
+
+    out, empty = _fb_batched(sequences, params, fetch)
+    for i in empty:
+        out[i] = np.zeros(0, dtype=np.float32)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _fb_calls_ckpt(obs, lengths, ls, lt, lstop, le, K: int,
+                   threshold: float):
+    """Thresholded homology calls, packed 8 columns/byte ON DEVICE —
+    the posterior itself never crosses the tunnel (a 2M-column batch's
+    float posteriors are hundreds of MB at ~25 MB/s device->host;
+    packed calls are 1/32 of that; PERF.md rule 9)."""
+    post = _fb_posterior_ckpt(obs, lengths, ls, lt, lstop, le, K)
+    bits = (post >= threshold).astype(jnp.uint8)
+    B, T = bits.shape
+    return jnp.packbits(bits.reshape(B, T // 8, 8), axis=2,
+                        bitorder="little")[:, :, 0]
 
 
 def predict_homologous(sequences: list[np.ndarray],
                        params: HmmParams | None = None,
                        threshold: float = POSTERIOR_THRESHOLD
                        ) -> list[np.ndarray]:
-    """Boolean per-column homology calls (run() equivalent)."""
-    return [p >= threshold
-            for p in posterior_homologous(sequences, params)]
+    """Boolean per-column homology calls (run() equivalent).  Long
+    sequences threshold + bit-pack on device and unpack host-side."""
+
+    def fetch(obs, lens, mats, T):
+        if T >= _FB_CKPT_MIN_T:
+            packed = np.asarray(_fb_calls_ckpt(obs, lens, *mats,
+                                               FB_CKPT_COLS,
+                                               float(threshold)))
+            return np.unpackbits(packed, axis=1,
+                                 bitorder="little").astype(bool)
+        return np.asarray(_fb_posterior(obs, lens, *mats)) >= threshold
+
+    out, empty = _fb_batched(sequences, params, fetch)
+    for i in empty:
+        out[i] = np.zeros(0, dtype=bool)
+    return out
 
 
 # --------------------------------------------------------------------------
