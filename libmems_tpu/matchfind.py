@@ -478,43 +478,34 @@ def pair_fast_path_ok(smls) -> bool:
     return 2 * smls[0].seed_weight + 3 + pb <= 64 and pb <= 30
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
                          extend_capacity: int, repeat_limit: int,
-                         presorted: bool,
                          keys_posorder, keys_a, keys_b,
                          gen_off, gen_cnt):
-    """G=2 unique-MUM pipeline: one sort (or bitonic merge of pre-sorted
-    per-genome words) + neighbor flags + one cluster sort + binary-search
-    compaction + span-seeded extension.  Static shapes.
-
-    With presorted=True, keys_a/keys_b are pre-sorted per-genome word
-    arrays (gid bit clear) merged by a bitonic merge network — measured
-    SLOWER than lax.sort on v5e (XLA materializes every merge stage; see
-    PERF.md), so production callers pass presorted=False; the flag is
-    kept for kernel experiments.  Returns (starts int32[EC, 2], lengths,
-    valid, n_rows, n_reps) with the same contract as _fused_mum_pipeline.
+    """G=2 unique-MUM pipeline: one packed-word sort + neighbor flags +
+    one cluster sort + binary-search compaction + span-seeded extension.
+    Static shapes.  (A bitonic-merge variant over pre-sorted per-genome
+    words was evaluated and retired: the XLA network measured 246ms vs
+    88ms for lax.sort, and the blocked Pallas version cannot be lowered
+    by the current TPU toolchain — PERF.md rule 16.)  Returns (starts
+    int32[EC, 2], lengths, valid, n_rows, n_reps) with the same
+    contract as _fused_mum_pipeline.
     """
     EC = extend_capacity
     pb = pos_bits
     u = jnp.uint64
 
-    if presorted:
-        from libmems_tpu.ops.merge import bitonic_merge
-        wb = keys_b | (u(1) << u(pb + 1))
-        w = bitonic_merge(keys_a, wb,
-                          keys_a.shape[0] + keys_b.shape[0])
-    else:
-        def pack(keys, gid):
-            content = (keys >> 1).astype(u)
-            strand = (keys & 1).astype(u)
-            n = keys.shape[0]
-            pos = jnp.arange(n, dtype=jnp.uint32).astype(u)
-            return (content << u(pb + 2)) | (u(gid) << u(pb + 1)) \
-                | (pos << u(1)) | strand
+    def pack(keys, gid):
+        content = (keys >> 1).astype(u)
+        strand = (keys & 1).astype(u)
+        n = keys.shape[0]
+        pos = jnp.arange(n, dtype=jnp.uint32).astype(u)
+        return (content << u(pb + 2)) | (u(gid) << u(pb + 1)) \
+            | (pos << u(1)) | strand
 
-        w = jnp.concatenate([pack(keys_a, 0), pack(keys_b, 1)])
-        w = jax.lax.sort(w)
+    w = jnp.concatenate([pack(keys_a, 0), pack(keys_b, 1)])
+    w = jax.lax.sort(w)
 
     c = w >> u(pb + 2)
     gid = ((w >> u(pb + 1)) & u(1)).astype(jnp.uint32)
@@ -533,12 +524,11 @@ def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
     g1 = nxt(gid, 1)
     # exact-pair run: len 2, one occurrence per genome (row i = genome 0)
     surv = (c == c1) & (c != cp) & (c1 != c2) & (gid == 0) & (g1 == 1)
-    if not presorted:
-        # ambiguity/pad sentinel content (key-dtype ~0 >> 1) never
-        # survives — a lone masked window per genome would otherwise
-        # mimic an exact pair
-        sent_c = (~jnp.zeros((), keys_a.dtype) >> 1).astype(u)
-        surv = surv & (c != sent_c)
+    # ambiguity/pad sentinel content (key-dtype ~0 >> 1) never survives
+    # — a lone masked window per genome would otherwise mimic an exact
+    # pair
+    sent_c = (~jnp.zeros((), keys_a.dtype) >> 1).astype(u)
+    surv = surv & (c != sent_c)
 
     posA = pos
     posB = nxt(pos, 1)
@@ -672,14 +662,14 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
         pb = _pair_pos_bits(max(pads))
         if 2 * smls[0].seed_weight + 3 + pb <= 64 and pb <= 30:
             return _fused_pair_pipeline(
-                seed_len, chunk, pb, extend_capacity, repeat_limit, False,
+                seed_len, chunk, pb, extend_capacity, repeat_limit,
                 keys_posorder, keys_pad[0], keys_pad[1], offs, cnts)
         # padded table exceeds the word budget: exact-shape fallback
         keys_posorder = jnp.concatenate([s.keys for s in smls])
         offs = jnp.asarray(np.array([0, smls[0].n_windows], np.int32))
         pb = _pair_pos_bits(max(s.n_windows for s in smls))
         return _fused_pair_pipeline(
-            seed_len, chunk, pb, extend_capacity, repeat_limit, False,
+            seed_len, chunk, pb, extend_capacity, repeat_limit,
             keys_posorder, smls[0].keys, smls[1].keys, offs, cnts)
     if capacity is None:
         # every surviving run holds >=2 occurrences (ngids >= 2), so

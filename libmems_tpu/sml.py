@@ -67,27 +67,6 @@ class SortedMerList:
     sorted_positions: jax.Array    # int32, window positions ordered by key
     circular: bool = False
     filename: str = ""
-    _pair_words: jax.Array | None = field(default=None, repr=False,
-                                          compare=False)
-
-    PAIR_POS_BITS = 23  # fixed pair-word layout (genomes < 8.4M windows)
-
-    def pair_words(self) -> jax.Array | None:
-        """Sorted packed (content | 0 | pos | strand) uint64 words for the
-        pairwise bitonic-merge path (layout pb = PAIR_POS_BITS, gid bit
-        left 0).  Built on first use with one device sort; None when the
-        genome or seed weight exceeds the fixed layout."""
-        pb = SortedMerList.PAIR_POS_BITS
-        if 2 * self.seed_weight + 3 + pb > 64 or \
-                self.n_windows >= (1 << pb):
-            return None
-        if self._pair_words is None:
-            k = self.keys.astype(jnp.uint64)
-            pos = jnp.arange(self.n_windows, dtype=jnp.uint64)
-            w = ((k >> jnp.uint64(1)) << jnp.uint64(pb + 2)) \
-                | (pos << jnp.uint64(1)) | (k & jnp.uint64(1))
-            self._pair_words = jax.lax.sort(w)
-        return self._pair_words
 
     @property
     def seed_length(self) -> int:
