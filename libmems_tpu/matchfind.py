@@ -1217,6 +1217,24 @@ _PAIRWISE_FUSED_MAX_ROWS = int(os.environ.get(
     "LIBMEMS_TPU_PAIRWISE_FUSED_MAX_ROWS", 1 << 28))
 
 
+def pairwise_fused_fits(G: int, pos_bits: int, rid_bits: int) -> bool:
+    """Word-budget test for _fused_pairwise_pipeline, mirroring its
+    packed layouts EXACTLY:
+
+      kept word:    rid(rid_bits) | gid(6) | pos(pos_bits) | strand(1)
+                    must fit 63 bits (top bit clear for u64 compare);
+      cluster word: fwd(1) | pair_id(2*ceil(log2(G-1)) bits) |
+                    delta(pos_bits+2) | posA(pos_bits) must fit 64.
+
+    Unit-tested against the pipeline's shifts (an over-count here once
+    silently routed genome-scale runs onto the ~100x-slower host
+    fallback — VERDICT r3)."""
+    pair_bits = 2 * max(G - 1, 1).bit_length()
+    return (rid_bits + 6 + pos_bits + 1 <= 63
+            and 1 + pair_bits + 2 * pos_bits + 2 <= 64
+            and G <= 63)
+
+
 def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
                        repeat_limit: int = MER_REPEAT_LIMIT,
                        extend: bool = True,
@@ -1234,14 +1252,7 @@ def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
     pos_bits = max(max((s.n_windows for s in smls), default=1)
                    .bit_length(), 8)
     rid_bits = (2 * total + 1).bit_length()   # covers bucket padding
-    # cluster word: fwd(1) | pair_id(pair_bits) | delta(pos_bits+2) |
-    # posA(pos_bits) — matches _fused_pairwise_pipeline's layout exactly
-    # (an earlier check over-counted by pos_bits and silently pushed
-    # genome-scale multi-genome runs onto the host fallback)
-    pair_bits = 2 * max(G - 1, 1).bit_length()
-    fits = (rid_bits + 6 + pos_bits + 1 <= 63
-            and 1 + pair_bits + 2 * pos_bits + 2 <= 64
-            and G <= 63)
+    fits = pairwise_fused_fits(G, pos_bits, rid_bits)
     if extend and fits and (G - 1) * total <= _PAIRWISE_FUSED_MAX_ROWS \
             and total > 0 and G <= 62:
         from libmems_tpu.sml import _bucket_len

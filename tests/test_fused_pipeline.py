@@ -83,3 +83,24 @@ def test_capacity_counters():
     _, _, valid, n_rows, n_reps = find_mums_device(smls)
     assert int(n_reps) <= int(n_rows)
     assert int(np.asarray(valid).sum()) <= int(n_reps)
+
+
+def test_pairwise_fused_fits_covers_baseline_configs():
+    """The fused pairwise seeder must engage for every BASELINE-scale
+    shape (9 x 1 Mbp through 30 x 5 Mbp); the budget predicate mirrors
+    the kernel's packed-word shifts exactly."""
+    from libmems_tpu.matchfind import pairwise_fused_fits
+
+    def bits(G, n_windows):
+        pos_bits = max(int(n_windows).bit_length(), 8)
+        rid_bits = (2 * G * n_windows + 1).bit_length()
+        return pos_bits, rid_bits
+
+    for G, L in [(2, 4_600_000), (9, 1_000_000), (9, 5_000_000),
+                 (30, 5_000_000)]:
+        pb, rb = bits(G, L)
+        assert pairwise_fused_fits(G, pb, rb), (G, L)
+    # and the genuine over-budget cases still fall back
+    pb, rb = bits(2, 1 << 40)
+    assert not pairwise_fused_fits(2, pb, rb)
+    assert not pairwise_fused_fits(64, *bits(64, 1000))
