@@ -74,6 +74,23 @@ def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
     return jnp.maximum(countf, 1.0)
 
 
+def _padded_occurrence_inputs(sml: SortedMerList):
+    from libmems_tpu.sml import _bucket_len
+    n = sml.n_windows
+    npad = _bucket_len(n)
+    lpad = npad + (sml.length - n)
+    if npad == n:
+        return sml.sorted_keys, sml.sorted_positions, lpad
+    sent = ~jnp.zeros((), sml.sorted_keys.dtype)
+    keys = jnp.concatenate([
+        sml.sorted_keys, jnp.full((npad - n,), sent,
+                                  sml.sorted_keys.dtype)])
+    spos = jnp.concatenate([
+        sml.sorted_positions,
+        jnp.arange(n, npad, dtype=sml.sorted_positions.dtype)])
+    return keys, spos, lpad
+
+
 def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:
     """float32[genome_length] smoothed per-position seed frequency
     (SeedOccurrenceList::construct + smoothFrequencies,
@@ -84,25 +101,49 @@ def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:
     workloads; PERF.md rule 11).  Pad windows carry the all-ones
     sentinel key — a trailing run whose counts only affect pad
     positions, sliced off before return."""
-    from libmems_tpu.sml import _bucket_len
     n = sml.n_windows
     if n == 0:
         return np.ones(sml.length, dtype=np.float32)
-    npad = _bucket_len(n)
-    lpad = npad + (sml.length - n)
-    if npad == n:
-        keys, spos = sml.sorted_keys, sml.sorted_positions
-    else:
-        sent = ~jnp.zeros((), sml.sorted_keys.dtype)
-        keys = jnp.concatenate([
-            sml.sorted_keys, jnp.full((npad - n,), sent,
-                                      sml.sorted_keys.dtype)])
-        spos = jnp.concatenate([
-            sml.sorted_positions,
-            jnp.arange(n, npad, dtype=sml.sorted_positions.dtype)])
+    keys, spos, lpad = _padded_occurrence_inputs(sml)
     out = np.asarray(_seed_occurrence_device(
         keys, spos, lpad, sml.seed_length))
     return np.ascontiguousarray(out[:sml.length])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _seed_occurrence_batch(keys_b, spos_b, total_len: int, seed_len: int):
+    return jax.vmap(lambda k, p: _seed_occurrence_device.__wrapped__(
+        k, p, total_len, seed_len))(keys_b, spos_b)
+
+
+def seed_occurrence_lists(smls: list[SortedMerList]) -> list[np.ndarray]:
+    """Batched seed_occurrence_list over many genomes: genomes sharing
+    a padded bucket shape run as ONE vmapped dispatch + fetch (the
+    per-genome loop paid dispatch/fetch overhead x G on the remote
+    tunnel)."""
+    out: list = [None] * len(smls)
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i, s in enumerate(smls):
+        if s.n_windows == 0:
+            out[i] = np.ones(s.length, dtype=np.float32)
+            continue
+        keys, spos, lpad = _padded_occurrence_inputs(s)
+        groups.setdefault((int(keys.shape[0]), lpad, s.seed_length),
+                          []).append((i, keys, spos))
+    for (npad, lpad, seed_len), members in groups.items():
+        if len(members) == 1:
+            i, keys, spos = members[0]
+            res = np.asarray(_seed_occurrence_device(
+                keys, spos, lpad, seed_len))
+            out[i] = np.ascontiguousarray(res[:smls[i].length])
+            continue
+        keys_b = jnp.stack([m[1] for m in members])
+        spos_b = jnp.stack([m[2] for m in members])
+        res = np.asarray(_seed_occurrence_batch(keys_b, spos_b, lpad,
+                                                seed_len))
+        for r, (i, _, _) in enumerate(members):
+            out[i] = np.ascontiguousarray(res[r, :smls[i].length])
+    return out
 
 
 def pairwise_anchor_scores(matches: MatchArray, gi: int, gj: int,

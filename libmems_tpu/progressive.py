@@ -45,7 +45,8 @@ import numpy as np
 
 from libmems_tpu import trace
 from libmems_tpu.anchorscore import (pairwise_anchor_scores,
-                                     seed_occurrence_list)
+                                     seed_occurrence_list,
+                                     seed_occurrence_lists)
 from libmems_tpu.cga import CompactAlignment, merge_with_gap_masks
 from libmems_tpu.distance import single_copy_distance
 from libmems_tpu.gbe import SimpleBreakpointScorer, \
@@ -579,7 +580,7 @@ def _recurse_on_pairs(lcb_groups: list[list[Anchor]], aln1: NodeAlignment,
     pair with smaller seeds (recurseOnPairs / pairwiseAnchorSearch,
     ProgressiveAligner.cpp:680-923, 589-678).  Returns new leaf-pair
     matches in global coordinates with their anchor scores."""
-    from libmems_tpu.anchorscore import pairwise_anchor_scores
+    from libmems_tpu.anchorscore import seed_occurrence_lists, pairwise_anchor_scores
     from libmems_tpu.recursion import search_gap
 
     from libmems_tpu import seeds as seedlib
@@ -939,12 +940,12 @@ def progressive_align(genomes: list[Genome],
     if cached is not None:
         matches, scores = cached
         with trace.stage("seed_occurrence"):
-            sols = [seed_occurrence_list(s) for s in smls]
+            sols = seed_occurrence_lists(smls)
     else:
         with trace.stage("pairwise_mums"):
             matches = find_pairwise_mums(smls)
         with trace.stage("seed_occurrence"):
-            sols = [seed_occurrence_list(s) for s in smls]
+            sols = seed_occurrence_lists(smls)
 
         # per-match score: its own leaf pair's uniqueness-scaled score
         scores = np.zeros(len(matches), dtype=np.float64)

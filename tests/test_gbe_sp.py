@@ -124,3 +124,21 @@ def test_high_penalty_collapses_low_scores():
     # at most one LCB should remain per pair (removing the last LCB of a
     # pair gains penalty only when another pair still pays one)
     assert all(c <= 1 for c in sc.pair_count)
+
+
+def test_seed_occurrence_lists_batched_parity():
+    """Batched (vmapped) seed-occurrence construction must equal the
+    per-genome path for mixed bucket shapes."""
+    import numpy as np
+    from libmems_tpu import seeds
+    from libmems_tpu.anchorscore import (seed_occurrence_list,
+                                         seed_occurrence_lists)
+    from libmems_tpu.sml import SortedMerList
+
+    rng = np.random.default_rng(7)
+    smls = [SortedMerList.create(
+        rng.integers(0, 4, n).astype(np.uint8), seeds.get_seed(11, 0))
+        for n in (4000, 4100, 7000, 4050)]
+    batched = seed_occurrence_lists(smls)
+    for s, b in zip(smls, batched):
+        np.testing.assert_array_equal(seed_occurrence_list(s), b)
