@@ -229,10 +229,14 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
     n_dev = mesh.devices.size if mesh is not None else 1
     results: list = [None] * B
 
-    def bucket(n, minimum=16):
+    def bucket(n, minimum=16, step=4):
+        # coarse (4x-spaced) column buckets: every (M, N) bucket is one
+        # device dispatch + one traceback fetch round-trip, and on the
+        # remote tunnel the round-trips dominate the padded-compute
+        # waste by orders of magnitude
         b = minimum
         while b < n:
-            b <<= 1
+            b *= step
         return b
 
     buckets: dict[tuple[int, int], list[int]] = {}
