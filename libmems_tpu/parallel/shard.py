@@ -474,7 +474,7 @@ def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
                         chunk: int | None, repeat_limit: int,
                         route_cap: int, req_cap: int):
     from libmems_tpu.match import MatchArray
-    from libmems_tpu.ops.extend import ESCALATE, extend_core
+    from libmems_tpu.ops.extend import extend_core
 
     n_dev = mesh.devices.size
     G = len(smls)
@@ -482,7 +482,13 @@ def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
     weight = smls[0].seed_weight
     if chunk is None:
         chunk = max(seed_len, 128)
-    max_chunk = ESCALATE * chunk
+    # single probe width (no escalation): every (side, C) pair
+    # instantiates the full all_to_all request/response machinery in
+    # the while-loop body, and the escalated variants doubled an
+    # already compile-heavy HLO (the remote compile of the escalated
+    # version exceeded 40 min; PERF.md rule 16).  Long matches take
+    # more uniform rounds instead of wider probes.
+    max_chunk = chunk
 
     cnts_np = np.array([s.n_windows for s in smls], np.int32)
     offs_np = np.concatenate([[0], np.cumsum(cnts_np)[:-1]]).astype(np.int32)
