@@ -60,6 +60,13 @@ class AlignerConfig:
                                       # many same-weight seed patterns
                                       # (pairwiseAnchorSearch seed_count=3,
                                       # ProgressiveAligner.cpp:619-651)
+    mesh: object | None = None        # jax.sharding.Mesh or device count:
+                                      # route MUM discovery through the
+                                      # seed-prefix-sharded pipeline
+                                      # (parallel.shard.sharded_find_mums)
+                                      # — the ParallelMemHash role
+                                      # (ParallelMemHash.cpp:42-121):
+                                      # same interface, fanned out
 
 
 def add_unaligned_intervals(intervals: list[Interval],
@@ -163,18 +170,20 @@ def _extend_lcb_anchors(mums: MatchArray, genomes: list[Genome],
     from libmems_tpu.gbe import eliminate_below_weight as _elim
     from libmems_tpu.gbe import surviving_members as _sm
     from libmems_tpu.lcb import compute_lcb_set as _cls
-    from libmems_tpu.recursion import search_gap
+    from libmems_tpu.recursion import search_gaps_batch
     seq_count = len(genomes)
     lcbs = _cls(mums)
     _elim(lcbs, min_weight)
     members = _sm(lcbs)
     for _ in range(max_rounds):
+        # n-way-only masked searches (MaskedMemHash via seq_mask;
+        # SearchLCBGaps, Aligner.cpp:2208-2212), batched per round
+        jobs = [(gs, gl, seed) for gs, gl in
+                _collinear_gap_windows(lcbs, members, mums, genomes)]
         new = []
-        for gs, gl in _collinear_gap_windows(lcbs, members, mums, genomes):
-            # n-way-only masked search (MaskedMemHash via seq_mask;
-            # SearchLCBGaps, Aligner.cpp:2208-2212)
-            found = search_gap(genomes, gs, gl, seed,
-                               seed_families=seed_families, nway=True)
+        for found in search_gaps_batch(genomes, jobs,
+                                       seed_families=seed_families,
+                                       nway=True):
             found = found.multiplicity_filter(seq_count)
             if len(found):
                 new.append(found)
@@ -185,6 +194,34 @@ def _extend_lcb_anchors(mums: MatchArray, genomes: list[Genome],
         _elim(lcbs, min_weight)
         members = _sm(lcbs)
     return mums, members
+
+
+def resolve_mesh(mesh):
+    """Accept a Mesh or a device count; None passes through."""
+    if mesh is None:
+        return None
+    from jax.sharding import Mesh
+    if isinstance(mesh, Mesh):
+        return mesh
+    from libmems_tpu.parallel import make_mesh
+    return make_mesh(int(mesh))
+
+
+def _find_mums_maybe_sharded(smls, cfg: AlignerConfig) -> MatchArray:
+    """Seed discovery through the single-device fused pipeline or, when
+    cfg.mesh is set, the seed-prefix-sharded one — both produce the same
+    unique-MUM set (parity-tested, tests/test_sharded_e2e.py), the same
+    way ParallelMemHash::FindMatches fed the same aligner as
+    MemHash::FindMatches (Aligner.cpp:2193)."""
+    mesh = resolve_mesh(cfg.mesh)
+    if mesh is None:
+        return find_mums(smls, repeat_tolerance=cfg.repeat_tolerance)
+    if cfg.repeat_tolerance != 0:
+        raise ValueError(
+            "the sharded MUM pipeline implements repeat_tolerance=0 "
+            "(unique MUMs) only; unset mesh for tolerant search")
+    from libmems_tpu.parallel.shard import sharded_find_mums
+    return sharded_find_mums(smls, mesh)
 
 
 def align(genomes: list[Genome], config: AlignerConfig | None = None
@@ -199,7 +236,7 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
     with trace.stage("sml_build"):
         smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
     with trace.stage("mum_find"):
-        mums = find_mums(smls, repeat_tolerance=cfg.repeat_tolerance)
+        mums = _find_mums_maybe_sharded(smls, cfg)
 
     # Step 2-3 (Aligner.cpp:2217-2247): overlap trim, then keep only
     # full n-way multi-MUMs

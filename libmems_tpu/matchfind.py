@@ -1079,15 +1079,35 @@ def _fused_pairwise_pipeline(seed_len: int, chunk: int, G: int,
       fwd(1) | pair_id(2*ceil(log2 G)) | delta(pos_bits+2) | posA(pos_bits)
                                                            <= 64 bits
     """
-    EC = extend_capacity
-    u = jnp.uint64
-    n = keys.shape[0]
-    gid_bits = 6
-    pair_bits = 2 * max(G - 1, 1).bit_length()
-
     content, gids, poss, strand = _sorted_seed_table(keys, gid, pos)
     unique_occ, run_id = _unique_occ_flags(content, gids, poss, strand,
                                            repeat_limit)
+    return _pairwise_core(seed_len, chunk, G, pos_bits, rid_bits,
+                          extend_capacity, keys_posorder, content, gids,
+                          poss, strand, unique_occ, run_id,
+                          gen_off, gen_cnt)
+
+
+def _pairwise_core(seed_len: int, chunk: int, G: int, pos_bits: int,
+                   rid_bits: int, extend_capacity: int, keys_posorder,
+                   content, gids, poss, strand, unique_occ, run_id,
+                   gen_off, gen_cnt, vary=None):
+    """Pair enumeration + clustering + extension + dedup over an
+    already-sorted (content, gid, pos, strand) table with unique-occ
+    flags.  Shared by the single-device fused pipeline above and the
+    seed-prefix-sharded seeder (parallel.shard.sharded_find_pairwise_
+    mums), whose routed local tables have the same structure — runs are
+    shard-local by construction, so this core needs no communication."""
+    EC = extend_capacity
+    u = jnp.uint64
+    n = content.shape[0]
+    gid_bits = 6
+    pair_bits = 2 * max(G - 1, 1).bit_length()
+    if vary is None:
+        def vary(x):
+            # identity outside shard_map; the sharded caller passes a
+            # pvary that marks loop-carry seeds device-varying
+            return x
 
     # compact kept occurrences to the front, preserving table order
     idx_bits = (n + 1).bit_length()
@@ -1131,7 +1151,7 @@ def _fused_pairwise_pipeline(seed_len: int, chunk: int, G: int,
             | (delta.astype(u) << u(pos_bits)) | posc.astype(u)
         return cwbuf.at[s - 1].set(jnp.where(valid, wrd, ~u(0)))
 
-    cw0 = jnp.zeros((G - 1, n), u)
+    cw0 = vary(jnp.zeros((G - 1, n), u))
     cw = jax.lax.fori_loop(1, G, shift_body, cw0).reshape(-1)
     cw = jax.lax.sort(cw)
 

@@ -179,6 +179,47 @@ def extend_core(fetch, key_dtype, seed_len: int, chunk: int,
         def any_reduce(x):
             return jnp.any(x)
 
+    probe_round = make_probe_round(fetch, key_dtype, seed_len, big,
+                                   gen_off, gen_cnt, present, is_fwd)
+
+    def run_side(side, lefts, lengths, aux):
+        active0 = jnp.any(present, axis=1)
+        # one round at the base chunk retires the short-match bulk ...
+        lefts, lengths, active, aux = probe_round(
+            side, chunk, lefts, lengths, active0, aux)
+
+        # ... surviving long matches escalate to the max window
+        def cond(carry):
+            _, _, active, _ = carry
+            return any_reduce(active)
+
+        def body(carry):
+            lefts, lengths, active, aux = carry
+            return probe_round(side, big, lefts, lengths, active, aux)
+
+        lefts, lengths, _, aux = jax.lax.while_loop(
+            cond, body, (lefts, lengths, active, aux))
+        return lefts, lengths, aux
+
+    aux = jax.tree_util.tree_map(jnp.asarray, aux0)
+    lefts, lengths, aux = run_side(0, lefts, lengths, aux)
+    lefts, lengths, aux = run_side(1, lefts, lengths, aux)
+    return lefts, lengths, aux
+
+
+def make_probe_round(fetch, key_dtype, seed_len: int, pad_off: int,
+                     gen_off, gen_cnt, present, is_fwd):
+    """Build the single probe-round function over fixed candidate
+    geometry (gen_off/gen_cnt/present/is_fwd never change during
+    extension).  Exposed separately from extend_core so distributed
+    callers can drive the rounds from the HOST — one jitted collective-
+    bearing round per call, no collectives inside a compiled while-loop
+    (the structure the remote-TPU compiler cannot lower; PERF.md rule
+    16) — while extend_core wraps it in an on-device while_loop for the
+    local path.  `pad_off` is the sentinel padding before the first real
+    key in the fetch's address space."""
+    R, G = present.shape
+    big = pad_off
     ref_idx = jnp.argmax(present, axis=1).astype(jnp.int32)
     fwd_flip = is_fwd.astype(key_dtype)  # parity adjustment bit
     fill = ~jnp.zeros((), key_dtype)
@@ -252,26 +293,4 @@ def extend_core(fetch, key_dtype, seed_len: int, chunk: int,
         active = active & (reach + seed_len > C) & (room + reach > C)
         return lefts, lengths, active, aux
 
-    def run_side(side, lefts, lengths, aux):
-        active0 = jnp.any(present, axis=1)
-        # one round at the base chunk retires the short-match bulk ...
-        lefts, lengths, active, aux = probe_round(
-            side, chunk, lefts, lengths, active0, aux)
-
-        # ... surviving long matches escalate to the max window
-        def cond(carry):
-            _, _, active, _ = carry
-            return any_reduce(active)
-
-        def body(carry):
-            lefts, lengths, active, aux = carry
-            return probe_round(side, big, lefts, lengths, active, aux)
-
-        lefts, lengths, _, aux = jax.lax.while_loop(
-            cond, body, (lefts, lengths, active, aux))
-        return lefts, lengths, aux
-
-    aux = jax.tree_util.tree_map(jnp.asarray, aux0)
-    lefts, lengths, aux = run_side(0, lefts, lengths, aux)
-    lefts, lengths, aux = run_side(1, lefts, lengths, aux)
-    return lefts, lengths, aux
+    return probe_round

@@ -11,7 +11,10 @@ runs are then device-local, so seed enumeration needs no cross-device
 communication; global statistics are psums.
 """
 
-from libmems_tpu.parallel.shard import (make_mesh, sharded_mum_seed_count,
+from libmems_tpu.parallel.shard import (make_mesh, sharded_find_mums,
+                                        sharded_find_pairwise_mums,
+                                        sharded_mum_seed_count,
                                         sharded_seed_table)
 
-__all__ = ["make_mesh", "sharded_seed_table", "sharded_mum_seed_count"]
+__all__ = ["make_mesh", "sharded_seed_table", "sharded_mum_seed_count",
+           "sharded_find_mums", "sharded_find_pairwise_mums"]

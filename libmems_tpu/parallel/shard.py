@@ -43,6 +43,35 @@ from libmems_tpu.ops import segments as seg
 SHARD_AXIS = "shard"
 
 
+def _vary(x):
+    """Mark an array device-varying over the shard axis (loop-carry
+    seeds built from constants inside shard_map need this)."""
+    _pcast = getattr(jax.lax, "pcast", None)
+    if _pcast is not None:
+        return _pcast(x, (SHARD_AXIS,), to="varying")
+    return jax.lax.pvary(x, (SHARD_AXIS,))
+
+
+def _put(x, mesh: Mesh, spec) -> jax.Array:
+    """Commit a host array to the mesh with an explicit sharding.
+
+    In a MULTI-PROCESS run (jax.distributed) every process passes the
+    same full host value and device_put installs only its addressable
+    shards — the documented way to build process-spanning inputs.  In a
+    single-process run this is an ordinary sharded put."""
+    from jax.sharding import NamedSharding
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def _np_global(x) -> np.ndarray:
+    """Fetch a sharded array to host numpy, allgathering across
+    processes when shards live on other hosts."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = SHARD_AXIS) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -337,14 +366,131 @@ def _sharded_find_mums_once(smls, mesh: Mesh, capacity: int,
                 dropped_sum, cand_over)
 
     starts, lengths, valid, dropped, cand_over = step(
-        jnp.asarray(keys), jnp.asarray(gid), jnp.asarray(pos),
-        keys_po, jnp.asarray(offs_np), jnp.asarray(cnts_np))
+        _put(keys, mesh, P(SHARD_AXIS)), _put(gid, mesh, P(SHARD_AXIS)),
+        _put(pos, mesh, P(SHARD_AXIS)), _put(keys_po, mesh, P()),
+        _put(offs_np, mesh, P()), _put(cnts_np, mesh, P()))
     dropped, cand_over = int(dropped), int(cand_over)
     if dropped or cand_over:
         return None, dropped, cand_over
-    starts = np.asarray(starts).reshape(-1, G)
-    lengths = np.asarray(lengths).reshape(-1)
-    valid = np.asarray(valid).reshape(-1)
+    starts = _np_global(starts).reshape(-1, G)
+    lengths = _np_global(lengths).reshape(-1)
+    valid = _np_global(valid).reshape(-1)
+    ma = MatchArray(starts[valid].astype(np.int64),
+                    lengths[valid].astype(np.int64))
+    return ma.dedup().canonical_sort(), 0, 0
+
+
+def sharded_find_pairwise_mums(smls, mesh: Mesh, capacity: int | None = None,
+                               chunk: int | None = None,
+                               repeat_limit: int = 1000,
+                               route_cap: int | None = None,
+                               max_retries: int = 3):
+    """Seed-prefix-sharded PairwiseMatchFinder (the progressiveMauve
+    seeder, libMems/PairwiseMatchFinder.cpp:37-71, parallelized the way
+    ParallelMemHash parallelized MemHash — same interface, fanned out).
+
+    Routing is identical to sharded_find_mums; enumeration differs:
+    occurrences unique within their genome pair up across genomes
+    ((G-1) shifted compares), runs being shard-local by construction.
+    Pair clustering, span-seeded extension, and shard-local dedup reuse
+    matchfind._pairwise_core verbatim.  Overflow (routing buffer or
+    representative capacity, psum'd) retries with doubled capacity.
+
+    Returns a MatchArray with find_pairwise_mums semantics.
+    """
+    n_dev = mesh.devices.size
+    G = len(smls)
+    if G > 62:
+        raise ValueError("sharded pairwise seeder supports <= 62 genomes")
+    total0 = sum(s.n_windows for s in smls)
+    total = total0 + ((-total0) % n_dev)
+    if capacity is None:
+        capacity = max(256, 1 << (total // n_dev - 1).bit_length())
+    if route_cap is None:
+        route_cap = max(256, 2 * (-(-total // n_dev) // n_dev))
+    last = None
+    for _ in range(max_retries + 1):
+        ma, dropped, cand_over = _sharded_pairwise_once(
+            smls, mesh, capacity, chunk, repeat_limit, route_cap)
+        if dropped == 0 and cand_over == 0:
+            return ma
+        if dropped:
+            route_cap *= 2
+        if cand_over:
+            capacity *= 2
+        last = (dropped, cand_over)
+    raise ValueError(
+        f"sharded_find_pairwise_mums still overflowing after "
+        f"{max_retries} retries (dropped={last[0]}, cand_over={last[1]}, "
+        f"capacity={capacity}, route_cap={route_cap})")
+
+
+def _sharded_pairwise_once(smls, mesh: Mesh, capacity: int,
+                           chunk: int | None, repeat_limit: int,
+                           route_cap: int):
+    from libmems_tpu.match import MatchArray
+    from libmems_tpu.matchfind import (_pairwise_core, _unique_occ_flags,
+                                       pairwise_fused_fits)
+
+    n_dev = mesh.devices.size
+    G = len(smls)
+    seed_len = smls[0].seed_length
+    weight = smls[0].seed_weight
+    if chunk is None:
+        chunk = max(seed_len, 256)
+
+    cnts_np = np.array([s.n_windows for s in smls], np.int32)
+    offs_np = np.concatenate([[0], np.cumsum(cnts_np)[:-1]]).astype(np.int32)
+    keys_po = jnp.concatenate([s.keys for s in smls])
+    keys = np.concatenate([np.asarray(s.keys) for s in smls])
+    gid = np.concatenate([np.full(c, i, np.int32)
+                          for i, c in enumerate(cnts_np)])
+    pos = np.concatenate([np.arange(c, dtype=np.int32) for c in cnts_np])
+    keys, gid, pos = pad_table_for_mesh(keys, gid, pos, n_dev)
+    sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
+
+    # packed-word budget for the local pair tables (worst case: every
+    # routed row lands on one shard)
+    pos_bits = max(int(cnts_np.max(initial=1)).bit_length(), 8)
+    rid_bits = (len(keys) + 1).bit_length()
+    if not pairwise_fused_fits(G, pos_bits, rid_bits):
+        raise ValueError(
+            f"packed pair words exceed 64 bits (G={G}, pos_bits="
+            f"{pos_bits}, rid_bits={rid_bits}); genomes too large for "
+            "the sharded pairwise seeder's packed layout")
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()))
+    def step(k, g, p, keys_posorder, offs, cnts):
+        sentinel = jnp.array(sentinel_val, k.dtype)
+        (content, rg, rp, rstrand), dropped = _route_local(
+            k, g, p, weight, n_dev, sentinel, send_cap=route_cap)
+        unique_occ, run_id = _unique_occ_flags(
+            content, rg, rp, rstrand.astype(jnp.uint8), repeat_limit)
+        srows, lengths, uniq, _, n_reps = _pairwise_core(
+            seed_len, chunk, G, pos_bits, rid_bits, capacity,
+            keys_posorder, content, rg, rp,
+            rstrand.astype(jnp.uint8), unique_occ, run_id, offs, cnts,
+            vary=_vary)
+        dropped_sum = jax.lax.psum(dropped, SHARD_AXIS)
+        cand_over = jax.lax.psum(
+            jnp.maximum(n_reps - capacity, 0), SHARD_AXIS)
+        return (srows[None], lengths[None], uniq[None],
+                dropped_sum, cand_over)
+
+    srows, lengths, uniq, dropped, cand_over = step(
+        _put(keys, mesh, P(SHARD_AXIS)), _put(gid, mesh, P(SHARD_AXIS)),
+        _put(pos, mesh, P(SHARD_AXIS)), _put(keys_po, mesh, P()),
+        _put(offs_np, mesh, P()), _put(cnts_np, mesh, P()))
+    dropped, cand_over = int(dropped), int(cand_over)
+    if dropped or cand_over:
+        return None, dropped, cand_over
+    starts = _np_global(srows).reshape(-1, G)
+    lengths = _np_global(lengths).reshape(-1)
+    valid = _np_global(uniq).reshape(-1)
     ma = MatchArray(starts[valid].astype(np.int64),
                     lengths[valid].astype(np.int64))
     return ma.dedup().canonical_sort(), 0, 0
@@ -440,7 +586,16 @@ def sharded_find_mums_tiled(smls, mesh: Mesh, capacity: int | None = None,
     holds the full key table — enumeration reads content-routed rows,
     extension reads position-tile spans via the request/response
     all_to_all (_dist_fetch_factory).  Per-device memory is
-    O(total/n_dev) end to end (VERDICT r2 item 3a / SURVEY M7)."""
+    O(total/n_dev) end to end (VERDICT r2 item 3a / SURVEY M7).
+
+    The probe rounds are driven from the HOST (r4): each round is one
+    jitted shard_map step whose collectives sit in straight-line code,
+    and the candidate state (sharded arrays) stays on device between
+    rounds.  The previous structure — the all_to_all request/response
+    inside a compiled while-loop — exceeded the remote-TPU toolchain's
+    40-minute compile budget (PERF.md rule 16); host-stepping bounds the
+    compiled program at ONE round and costs one scalar fetch per round
+    to decide termination."""
     n_dev = mesh.devices.size
     total0 = sum(s.n_windows for s in smls)
     total = total0 + ((-total0) % n_dev)
@@ -474,20 +629,20 @@ def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
                         chunk: int | None, repeat_limit: int,
                         route_cap: int, req_cap: int):
     from libmems_tpu.match import MatchArray
-    from libmems_tpu.ops.extend import extend_core
+    from libmems_tpu.ops.extend import make_probe_round
 
     n_dev = mesh.devices.size
     G = len(smls)
     seed_len = smls[0].seed_length
     weight = smls[0].seed_weight
     if chunk is None:
-        chunk = max(seed_len, 128)
-    # single probe width (no escalation): every (side, C) pair
-    # instantiates the full all_to_all request/response machinery in
-    # the while-loop body, and the escalated variants doubled an
-    # already compile-heavy HLO (the remote compile of the escalated
-    # version exceeded 40 min; PERF.md rule 16).  Long matches take
-    # more uniform rounds instead of wider probes.
+        # wider than the local default: every probe round is a host
+        # round-trip here, so fewer/wider rounds win (measured 180 s
+        # warm at chunk=128 on the remote tunnel was ~90% round-trip)
+        chunk = max(seed_len, 512)
+    # single probe width (no escalation): long matches take more uniform
+    # host-stepped rounds instead of wider probes, keeping the one
+    # compiled round small
     max_chunk = chunk
 
     cnts_np = np.array([s.n_windows for s in smls], np.int32)
@@ -501,14 +656,12 @@ def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
     keys, gid, pos = pad_table_for_mesh(keys_np, gid, pos, n_dev)
     sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
 
+    # --- step 1: route + enumerate + candidate init (one jit, no loops)
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(), P()),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(),
-                   P(), P()))
-    def step(k, g, p, tile, offs, cnts):
-        tile = tile[0]
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()))
+    def init_step(k, g, p):
         sentinel = jnp.array(sentinel_val, k.dtype)
         (content, rg, rp, rstrand), dropped = _route_local(
             k, g, p, weight, n_dev, sentinel, send_cap=route_cap)
@@ -533,27 +686,54 @@ def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
         starts = starts.at[rid, rg].set(sign * (rp + 1), mode="drop")
         starts = starts[:capacity]
         valid = jnp.arange(capacity) < jnp.minimum(n_rows, capacity)
+        starts = jnp.where(valid[:, None], starts, 0)
 
-        present = (starts != 0) & valid[:, None]
-        lefts = jnp.where(present, jnp.abs(starts) - 1, 0)
-        is_fwd = starts > 0
-        lengths = jnp.full((capacity,), seed_len, dtype=jnp.int32)
-        lengths = jax.lax.pvary(lengths, (SHARD_AXIS,))
+        dropped_sum = jax.lax.psum(dropped, SHARD_AXIS)
+        cand_over = jax.lax.psum(
+            jnp.maximum(n_rows - capacity, 0), SHARD_AXIS)
+        return starts[None], valid[None], _vary(
+            jnp.full((1, capacity), seed_len, jnp.int32)), \
+            dropped_sum, cand_over
 
-        fetch = _dist_fetch_factory(tile, tile_size, n_dev, req_cap)
+    # --- step 2: ONE probe round per call, host-driven termination
+    def make_probe_step(side: int):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(), P()),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                       P(SHARD_AXIS), P()))
+        def step(tile, starts, lefts, lengths, active, aux, offs, cnts):
+            tile, starts = tile[0], starts[0]
+            lefts, lengths = lefts[0], lengths[0]
+            active, aux = active[0], aux[0]
+            present = starts != 0
+            is_fwd = starts > 0
+            fetch = _dist_fetch_factory(tile, tile_size, n_dev, req_cap)
+            pr = make_probe_round(
+                fetch, tile.dtype, seed_len, max_chunk,
+                jnp.broadcast_to(offs, (capacity, G)),
+                jnp.broadcast_to(cnts, (capacity, G)), present, is_fwd)
+            lefts, lengths, active, aux = pr(side, chunk, lefts, lengths,
+                                             active, aux)
+            n_active = jax.lax.psum(jnp.any(active).astype(jnp.int32),
+                                    SHARD_AXIS)
+            return (lefts[None], lengths[None], active[None], aux[None],
+                    n_active)
 
-        def any_reduce(x):
-            return jax.lax.psum(jnp.any(x).astype(jnp.int32),
-                                SHARD_AXIS) > 0
+        return jax.jit(step)
 
-        lefts, lengths, fdrop = extend_core(
-            fetch, tile.dtype, seed_len, chunk,
-            jnp.broadcast_to(offs, (capacity, G)),
-            jnp.broadcast_to(cnts, (capacity, G)),
-            lefts, present, is_fwd, lengths,
-            any_reduce=any_reduce, max_chunk=max_chunk,
-            aux0=jnp.zeros((), jnp.int32))
-
+    # --- step 3: shard-local dedup + output rows
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)))
+    def finalize_step(starts, valid, lefts, lengths):
+        starts, valid = starts[0], valid[0]
+        lefts, lengths = lefts[0], lengths[0]
+        present = starts != 0
         out_starts = jnp.where(present, jnp.sign(starts) * (lefts + 1), 0)
         sort_ops = tuple(out_starts[:, gg] for gg in range(G)) + (
             lengths, (~valid).astype(jnp.int32))
@@ -565,26 +745,51 @@ def _sharded_tiled_once(smls, mesh: Mesh, capacity: int,
             jnp.ones((1,), bool),
             jnp.any(srows[1:] != srows[:-1], axis=1)])
         uniq = svalid & first
-        dropped_sum = jax.lax.psum(dropped, SHARD_AXIS)
-        cand_over = jax.lax.psum(
-            jnp.maximum(n_rows - capacity, 0), SHARD_AXIS)
-        fetch_drop = jax.lax.psum(fdrop, SHARD_AXIS)
-        return (srows[None, :, :G], srows[None, :, G], uniq[None],
-                dropped_sum, cand_over, fetch_drop)
+        return srows[None, :, :G], srows[None, :, G], uniq[None]
 
-    starts, lengths, valid, dropped, cand_over, fetch_drop = step(
-        jnp.asarray(keys), jnp.asarray(gid), jnp.asarray(pos),
-        jnp.asarray(tiles_np), jnp.asarray(offs_np),
-        jnp.asarray(cnts_np))
+    starts, valid, lengths, dropped, cand_over = init_step(
+        _put(keys, mesh, P(SHARD_AXIS)), _put(gid, mesh, P(SHARD_AXIS)),
+        _put(pos, mesh, P(SHARD_AXIS)))
     dropped, cand_over = int(dropped), int(cand_over)
-    fetch_drop = int(fetch_drop)
-    if dropped or cand_over or fetch_drop:
-        return None, dropped, cand_over, fetch_drop
-    starts = np.asarray(starts).reshape(-1, G)
-    lengths = np.asarray(lengths).reshape(-1)
-    valid = np.asarray(valid).reshape(-1)
-    ma = MatchArray(starts[valid].astype(np.int64),
-                    lengths[valid].astype(np.int64))
+    if dropped or cand_over:
+        return None, dropped, cand_over, 0
+
+    tiles = _put(tiles_np, mesh, P(SHARD_AXIS))
+    present_any = jnp.any(starts != 0, axis=-1)
+    lefts = jnp.where(starts != 0, jnp.abs(starts) - 1, 0)
+    aux = jnp.zeros((n_dev,), jnp.int32)
+    offs_j = _put(offs_np, mesh, P())
+    cnts_j = _put(cnts_np, mesh, P())
+    import os as _os
+    _dbg = _os.environ.get("LIBMEMS_TPU_DEBUG_TILED")
+    for side in (0, 1):
+        probe = make_probe_step(side)
+        active = present_any
+        rounds = 0
+        while True:
+            import time as _t
+            _t0 = _t.time()
+            lefts, lengths, active, aux, n_active = probe(
+                tiles, starts, lefts, lengths, active, aux,
+                offs_j, cnts_j)
+            n_active = int(n_active)
+            rounds += 1
+            if _dbg:
+                print(f"tiled side={side} round={rounds} "
+                      f"n_active={n_active} dt={_t.time()-_t0:.2f}",
+                      flush=True)
+            if n_active == 0:
+                break
+
+    fetch_drop = int(_np_global(aux).sum())
+    if fetch_drop:
+        return None, 0, 0, fetch_drop
+    srows, slens, uniq = finalize_step(starts, valid, lefts, lengths)
+    out_starts = _np_global(srows).reshape(-1, G)
+    out_lens = _np_global(slens).reshape(-1)
+    out_valid = _np_global(uniq).reshape(-1)
+    ma = MatchArray(out_starts[out_valid].astype(np.int64),
+                    out_lens[out_valid].astype(np.int64))
     return ma.dedup().canonical_sort(), 0, 0, 0
 
 

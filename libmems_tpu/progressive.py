@@ -98,6 +98,12 @@ class ProgressiveConfig:
                                      # completed node merge; a rerun
                                      # with the same inputs resumes
                                      # after the last finished node
+    mesh: object | None = None       # jax.sharding.Mesh or device count:
+                                     # route pairwise seeding through the
+                                     # seed-prefix-sharded seeder
+                                     # (sharded_find_pairwise_mums) —
+                                     # parity-tested vs the single-device
+                                     # path (tests/test_sharded_e2e.py)
 
 
 @dataclass
@@ -579,17 +585,22 @@ def _recurse_on_pairs(lcb_groups: list[list[Anchor]], aln1: NodeAlignment,
     """Re-anchor the inter-anchor gaps of every LCB per extant leaf
     pair with smaller seeds (recurseOnPairs / pairwiseAnchorSearch,
     ProgressiveAligner.cpp:680-923, 589-678).  Returns new leaf-pair
-    matches in global coordinates with their anchor scores."""
-    from libmems_tpu.anchorscore import seed_occurrence_lists, pairwise_anchor_scores
-    from libmems_tpu.recursion import search_gap
+    matches in global coordinates with their anchor scores.
+
+    Collect-then-batch (r4): the (LCB group x gap x leaf-pair) jobs are
+    gathered first and run as ONE search_gaps_batch call — the pooled
+    analog of the reference's `#pragma omp parallel for` over the
+    extant-pair job list (ProgressiveAligner.cpp:695)."""
+    from libmems_tpu.anchorscore import pairwise_anchor_scores
+    from libmems_tpu.recursion import search_gaps_batch
 
     from libmems_tpu import seeds as seedlib
 
     G = len(genomes)
     node_weight = seedlib.seed_weight(seed)
 
-    parts: list[MatchArray] = []
-    part_scores: list[np.ndarray] = []
+    jobs: list[tuple] = []
+    job_pairs: list[tuple[int, int]] = []
     for group in lcb_groups:
         fwd = group[0].forward
         blk1 = aln1.blocks[group[0].b1]
@@ -630,17 +641,22 @@ def _recurse_on_pairs(lcb_groups: list[list[Anchor]], aln1: NodeAlignment,
                     gl[g1] = int(l1[r1])
                     gs[g2] = int(s2.starts[r2])
                     gl[g2] = int(l2[r2])
-                    found = search_gap(genomes, gs, gl, gap_seed,
-                                       seed_families=seed_families)
-                    if len(found) == 0:
-                        continue
-                    if codes is not None and sols is not None:
-                        sc = pairwise_anchor_scores(found, g1, g2,
-                                                    codes, sols)
-                    else:
-                        sc = 2.0 * found.lengths.astype(np.float64)
-                    parts.append(found)
-                    part_scores.append(np.asarray(sc, dtype=np.float64))
+                    jobs.append((gs, gl, gap_seed))
+                    job_pairs.append((g1, g2))
+
+    founds = search_gaps_batch(genomes, jobs,
+                               seed_families=seed_families)
+    parts: list[MatchArray] = []
+    part_scores: list[np.ndarray] = []
+    for (g1, g2), found in zip(job_pairs, founds):
+        if len(found) == 0:
+            continue
+        if codes is not None and sols is not None:
+            sc = pairwise_anchor_scores(found, g1, g2, codes, sols)
+        else:
+            sc = 2.0 * found.lengths.astype(np.float64)
+        parts.append(found)
+        part_scores.append(np.asarray(sc, dtype=np.float64))
     if not parts:
         return None, None
     ma = MatchArray(np.concatenate([p.starts for p in parts]),
@@ -829,9 +845,12 @@ class _ProgressiveCheckpoint:
         if cfg is not None:
             # every alignment-affecting config field invalidates cached
             # node merges; only bookkeeping fields are excluded
-            d = dataclasses.asdict(cfg)
+            # shallow field dict (asdict would deepcopy a Mesh's devices)
+            d = {f.name: getattr(cfg, f.name)
+                 for f in dataclasses.fields(cfg)}
             d.pop("checkpoint_dir", None)
             d.pop("validate", None)
+            d.pop("mesh", None)   # execution placement, not semantics
             h.update(json.dumps(d, sort_keys=True, default=str).encode())
         self.key = h.hexdigest()
         meta = os.path.join(self.dir, "meta.json")
@@ -943,7 +962,14 @@ def progressive_align(genomes: list[Genome],
             sols = seed_occurrence_lists(smls)
     else:
         with trace.stage("pairwise_mums"):
-            matches = find_pairwise_mums(smls)
+            from libmems_tpu.aligner import resolve_mesh
+            mesh = resolve_mesh(cfg.mesh)
+            if mesh is None:
+                matches = find_pairwise_mums(smls)
+            else:
+                from libmems_tpu.parallel.shard import \
+                    sharded_find_pairwise_mums
+                matches = sharded_find_pairwise_mums(smls, mesh)
         with trace.stage("seed_occurrence"):
             sols = seed_occurrence_lists(smls)
 
@@ -1024,7 +1050,8 @@ def progressive_align(genomes: list[Genome],
                                bits=blk.bits[order])
         rows = cga.render(genomes)
         if cfg.refine and (blk.bits.any(axis=1).sum() > 2):
-            rows = refine_rows_windowed(rows)
+            with trace.stage("refine"):
+                rows = refine_rows_windowed(rows)
         lens = cga.lengths()
         intervals.append(Interval(
             blocks=[Block(starts=cga.starts.copy(),

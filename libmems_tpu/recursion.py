@@ -16,6 +16,8 @@ signed starts (AbstractMatch sign conventions).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from libmems_tpu import seeds as seedlib
@@ -104,8 +106,10 @@ def search_gap(genomes: list[Genome], gap_starts: np.ndarray,
                            seed_families, nway)
 
 
-def _search_gap(genomes, gap_starts, gap_lens, seed,
-                seed_families=1, nway=False) -> MatchArray:
+def _prep_gap(genomes, gap_starts, gap_lens, seed, nway: bool):
+    """Fragment extraction for one gap search.  Returns the worker
+    payload (frags, frag_ambig, members) or None when the gap cannot
+    yield a match."""
     G = len(genomes)
     seed_len = seedlib.seed_length(seed)
     frags = []
@@ -123,15 +127,29 @@ def _search_gap(genomes, gap_starts, gap_lens, seed,
         frag_ambig.append(amb if amb.any() else None)
         members.append(g)
     if len(members) < 2 or (nway and len(members) < G):
-        return MatchArray.empty(G)
+        return None
+    return frags, frag_ambig, members
+
+
+def _host_eligible(frags, members) -> bool:
+    """Small fragment pairs run the single-core numpy twin of the fused
+    pair pipeline — device dispatch latency dwarfs the compute at
+    gap-search scale (a G==2 full mask equals the pair path's exact-pair
+    semantics); these jobs are also safe for a fork-pool worker (no JAX
+    calls)."""
+    from libmems_tpu.matchfind import HOST_PAIR_CUTOFF
+    return (len(members) == 2
+            and sum(len(f) for f in frags) <= HOST_PAIR_CUTOFF)
+
+
+def _search_frags(frags, frag_ambig, members, G, gap_starts, gap_lens,
+                  seed, seed_families, nway, use_host) -> MatchArray:
+    """Family-union MUM search over prepared fragments + translation to
+    global coordinates.  With use_host=True this is numpy-only (fork-
+    pool safe); otherwise it builds device SMLs."""
     seq_mask = (1 << len(members)) - 1 if nway else 0
     weight = seedlib.seed_weight(seed)
-    # small fragment pairs: single-core numpy twin of the fused pair
-    # pipeline — device dispatch latency dwarfs the compute at gap-search
-    # scale (a G==2 full mask equals the pair path's exact-pair semantics)
-    from libmems_tpu.matchfind import HOST_PAIR_CUTOFF, find_pair_mums_np
-    use_host = (len(members) == 2
-                and sum(len(f) for f in frags) <= HOST_PAIR_CUTOFF)
+    from libmems_tpu.matchfind import find_pair_mums_np
     found: list[MatchArray] = []
     for rank in range(max(1, seed_families)):
         try:
@@ -171,6 +189,81 @@ def _search_gap(genomes, gap_starts, gap_lens, seed,
     return MatchArray(gstarts, local.lengths[keep])
 
 
+def _search_gap(genomes, gap_starts, gap_lens, seed,
+                seed_families=1, nway=False) -> MatchArray:
+    G = len(genomes)
+    prep = _prep_gap(genomes, gap_starts, gap_lens, seed, nway)
+    if prep is None:
+        return MatchArray.empty(G)
+    frags, frag_ambig, members = prep
+    return _search_frags(frags, frag_ambig, members, G, gap_starts,
+                         gap_lens, seed, seed_families, nway,
+                         _host_eligible(frags, members))
+
+
+# how many host-eligible jobs justify spinning up the fork pool, and
+# its size; LIBMEMS_TPU_POOL=0 disables pooling entirely
+_POOL_MIN_JOBS = int(os.environ.get("LIBMEMS_TPU_POOL_MIN_JOBS", 8))
+_POOL_SIZE = int(os.environ.get("LIBMEMS_TPU_POOL",
+                                min(os.cpu_count() or 1, 16)))
+
+
+def _pool_worker(payload):
+    frags, frag_ambig, members, G, gap_starts, gap_lens, seed, \
+        seed_families, nway = payload
+    return _search_frags(frags, frag_ambig, members, G, gap_starts,
+                         gap_lens, seed, seed_families, nway, True)
+
+
+def search_gaps_batch(genomes: list[Genome], jobs: list,
+                      seed_families: int = 1,
+                      nway: bool = False) -> list[MatchArray]:
+    """Batched gap re-anchoring: collect-then-run all (gap, seed) jobs
+    of a recursion round instead of one `search_gap` at a time (the
+    reference ran these under `#pragma omp parallel for`,
+    ProgressiveAligner.cpp:695; here the sub-cutoff host-twin searches
+    fan out over a fork pool and the rare device-scale jobs run in the
+    parent, which owns the TPU client).
+
+    `jobs` is a list of (gap_starts[G], gap_lens[G], seed); returns one
+    MatchArray per job, order-preserving.
+    """
+    from libmems_tpu import trace
+    G = len(genomes)
+    results: list[MatchArray | None] = [None] * len(jobs)
+    pool_payloads: list[tuple[int, tuple]] = []
+    with trace.stage("search_gap_batch"):
+        for i, (gs, gl, seed) in enumerate(jobs):
+            prep = _prep_gap(genomes, gs, gl, seed, nway)
+            if prep is None:
+                results[i] = MatchArray.empty(G)
+                continue
+            frags, frag_ambig, members = prep
+            if _host_eligible(frags, members):
+                pool_payloads.append(
+                    (i, (frags, frag_ambig, members, G, gs, gl, seed,
+                         seed_families, nway)))
+            else:
+                # device-scale job: must run in the parent process
+                results[i] = _search_frags(
+                    frags, frag_ambig, members, G, gs, gl, seed,
+                    seed_families, nway, False)
+        if (_POOL_SIZE > 1 and len(pool_payloads) >= _POOL_MIN_JOBS
+                and hasattr(os, "fork")):
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            with ctx.Pool(processes=min(_POOL_SIZE,
+                                        len(pool_payloads))) as pool:
+                outs = pool.map(_pool_worker,
+                                [p for _, p in pool_payloads])
+            for (i, _), out in zip(pool_payloads, outs):
+                results[i] = out
+        else:
+            for i, payload in pool_payloads:
+                results[i] = _pool_worker(payload)
+    return results
+
+
 def recursive_anchor_fill(matches: MatchArray, members: list[np.ndarray],
                           genomes: list[Genome], seed: int,
                           min_gap: int = 32, max_rounds: int = 3,
@@ -186,13 +279,17 @@ def recursive_anchor_fill(matches: MatchArray, members: list[np.ndarray],
         new_rows: list[np.ndarray] = []
         new_lens: list[int] = []
         grew = False
-        next_members = []
-        for idx in members:
+        # collect-then-batch: every LCB's gap jobs for this round run as
+        # one search_gaps_batch call (pooled host twins)
+        jobs: list[tuple] = []
+        job_owner: list[int] = []
+        member_rows_all: list[list[int]] = []
+        for mi, idx in enumerate(members):
             s = matches.starts[idx]
             l = matches.lengths[idx]
             order = np.argsort(np.abs(s[:, 0]), kind="stable")
             s, l, idx = s[order], l[order], idx[order]
-            member_rows = list(idx)
+            member_rows_all.append(list(idx))
             for _, gs, gl in _gap_windows(s, l, G):
                 active = gl[gl > 0]
                 if active.size < 2 or int(gl.max()) < min_gap:
@@ -202,14 +299,19 @@ def recursive_anchor_fill(matches: MatchArray, members: list[np.ndarray],
                     continue
                 gap_seed = seedlib.get_seed(
                     min(gap_seed_w, seedlib.seed_weight(seed)), 0)
-                found = search_gap(genomes, gs, gl, gap_seed,
+                jobs.append((gs, gl, gap_seed))
+                job_owner.append(mi)
+        founds = search_gaps_batch(genomes, jobs,
                                    seed_families=seed_families)
-                for row, ln in zip(found.starts, found.lengths):
-                    member_rows.append(matches.n_matches + len(new_rows))
-                    new_rows.append(row)
-                    new_lens.append(int(ln))
-                    grew = True
-            next_members.append(np.array(member_rows, dtype=np.int64))
+        for mi, found in zip(job_owner, founds):
+            for row, ln in zip(found.starts, found.lengths):
+                member_rows_all[mi].append(
+                    matches.n_matches + len(new_rows))
+                new_rows.append(row)
+                new_lens.append(int(ln))
+                grew = True
+        next_members = [np.array(rows, dtype=np.int64)
+                        for rows in member_rows_all]
         if not grew:
             break
         matches = MatchArray(

@@ -101,6 +101,19 @@ def device_profile(log_dir: str):
         yield
 
 
+def stage_seconds(rec: StageRecord | None = None, prefix: str = ""
+                  ) -> dict:
+    """Flat {stage/path: seconds} view of the collected tree, for
+    programmatic reporting (bench_e2e per-stage JSON)."""
+    rec = rec or _root
+    out = {}
+    for child in rec.children.values():
+        path = f"{prefix}{child.name}"
+        out[path] = round(child.seconds, 3)
+        out.update(stage_seconds(child, path + "/"))
+    return out
+
+
 def report(rec: StageRecord | None = None, indent: int = 0) -> str:
     """Render the collected stage tree."""
     rec = rec or _root
