@@ -191,7 +191,7 @@ def main():
     # synchronized figure (result scalars read back to host — what a
     # caller actually observes); README/PERF tables quote these fields
     # verbatim, never a separately-measured number.
-    print(json.dumps({
+    result = {
         "metric": "mum_find_bases_per_s",
         "value": round(bps, 1),
         "unit": "bases/s",
@@ -199,7 +199,22 @@ def main():
         "ms_per_iter_fetch_sync": round(dt * 1000, 1),
         "bases": bases,
         "cpu_twin_bases_per_s": round(cpu_bps, 1),
-    }))
+    }
+    print(json.dumps(result))
+    # record into the shared results file so README tables regenerate
+    # from bench output, never hand-typed (bench_e2e.py --render-readme)
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_results.json")
+    try:
+        with open(path) as fh:
+            acc = json.load(fh)
+    except (OSError, ValueError):
+        acc = {}
+    acc[result["metric"]] = result
+    with open(path + ".tmp", "w") as fh:
+        json.dump(acc, fh, indent=1, sort_keys=True)
+    os.replace(path + ".tmp", path)
 
 
 if __name__ == "__main__":

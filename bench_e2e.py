@@ -4,26 +4,59 @@ Runs on the real TPU chip:
   A. 2 x 4.6 Mbp synthetic pair -> align() (LCBs + gapped intervals) ->
      XMFA (config 1+3)
   B. 9 x ~1 Mbp synthetic enterobacteria-like set -> progressive_align
-     -> backbone detection+application -> XMFA (config 4)
+     (refine=True, the default) -> backbone detection+application ->
+     XMFA (config 4)
 
-Prints one JSON line per phase to stdout; wall-clock numbers are copied
-into README.md's performance table.  bench.py (the driver metric)
-remains the MUM-throughput benchmark.
+Prints one JSON line per phase to stdout.  Every number the README
+publishes comes from these JSON lines (`--render-readme` rewrites the
+README table from the recorded results — one source of truth).
+
+Timing labels (PERF.md rule 12 — compile cost is paid once per kernel
+shape EVER via the persistent cache, so these differ a lot):
+
+  value / *_s          first run in THIS process: includes jit tracing
+                       + cached-executable loads (warm cache) or full
+                       remote compiles (cold cache).  The JSON records
+                       which via "cache": "warm"|"cold".
+  marginal_s           a SECOND, different input in the same process —
+                       the per-alignment cost a long-running service
+                       sees.
+  --cold               point the persistent cache at a fresh temp dir
+                       first: the true first-ever-run number.
+
+Quality stats ride along (VERDICT r3 item 6): sum-of-pairs score and
+column/coverage stats of the final XMFA, so content regressions are
+visible independently of byte-golden stability.
 """
 
 import json
+import os
 import sys
 import time
 
-import numpy as np
+RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results.json")
 
-from bench import _synthetic_pair
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+    # keep the latest result per metric for --render-readme
+    try:
+        with open(RESULTS_PATH) as fh:
+            acc = json.load(fh)
+    except (OSError, ValueError):
+        acc = {}
+    acc[obj["metric"]] = obj
+    with open(RESULTS_PATH + ".tmp", "w") as fh:
+        json.dump(acc, fh, indent=1, sort_keys=True)
+    os.replace(RESULTS_PATH + ".tmp", RESULTS_PATH)
 
 
 def _mutant_family(n_genomes, length, rng_seed=0, mutate=0.01,
                    indel=0.0002, rearrange=2):
     """Star-phylogeny family: independent mutants of one ancestor with a
     couple of segmental rearrangements each."""
+    import numpy as np
     rng = np.random.default_rng(rng_seed)
     anc = rng.integers(0, 4, size=length).astype(np.uint8)
     out = []
@@ -62,11 +95,54 @@ def _mutant_family(n_genomes, length, rng_seed=0, mutate=0.01,
     return out
 
 
+def _cache_state() -> str:
+    """'warm' when the persistent compile cache already has entries."""
+    from libmems_tpu import _jaxconfig
+    d = _jaxconfig._cache_dir
+    try:
+        return "warm" if d and os.listdir(d) else "cold"
+    except OSError:
+        return "cold"
+
+
+def _quality_stats(ivs):
+    """SP score + coverage/column stats of a final IntervalList."""
+    import numpy as np
+    from libmems_tpu.scoring import sp_score
+    total_sp = 0.0
+    aligned_cols = 0
+    core_cols = 0          # columns where every genome has a char
+    aligned_bases = 0
+    for iv in ivs.intervals:
+        rows = iv.render(ivs.genomes)
+        present = (rows != ord("-"))
+        n_present_rows = int((present.any(axis=1)).sum())
+        if n_present_rows < 2:
+            continue
+        total_sp += float(sp_score(rows))
+        occ = present.sum(axis=0)
+        aligned_cols += int(rows.shape[1])
+        core_cols += int((occ == rows.shape[0]).sum())
+        aligned_bases += int(present.sum())
+    total_bases = sum(len(g) for g in ivs.genomes)
+    return {
+        "sp_score": round(total_sp, 1),
+        "aligned_columns": aligned_cols,
+        "core_columns": core_cols,
+        "multi_aligned_base_frac": round(aligned_bases / max(
+            total_bases, 1), 4),
+    }
+
+
 def phase_pair_to_xmfa(tmpdir):
+    from bench import _synthetic_pair
+    import numpy as np
+    from libmems_tpu import trace
     from libmems_tpu.aligner import AlignerConfig, align
     from libmems_tpu.interval import write_xmfa
     from libmems_tpu.sequence import Genome
 
+    cache = _cache_state()
     L = 4_600_000
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
 
@@ -80,21 +156,29 @@ def phase_pair_to_xmfa(tmpdir):
         write_xmfa(out, ivs)
         return time.perf_counter() - t0, ivs, mums
 
-    # first run pays per-process one-time costs (cached-executable
-    # loads); the second, on a DIFFERENT genome pair, is the marginal
-    # per-alignment cost a long-running service sees
+    trace.set_enabled(True)
+    trace.reset()
     dt1, ivs, mums = run(0, f"{tmpdir}/pair.xmfa")
-    dt2, _, _ = run(1, f"{tmpdir}/pair2.xmfa")
-    print(json.dumps({
+    # marginal: a DIFFERENT genome pair in the same process — the
+    # per-alignment cost a long-running service sees
+    trace.reset()
+    dt2, ivs2, _ = run(1, f"{tmpdir}/pair2.xmfa")
+    stages = trace.stage_seconds()
+    trace.set_enabled(False)
+    _emit({
         "metric": "pair_align_to_xmfa_s", "value": round(dt1, 2),
-        "unit": "s", "bases": 2 * L, "n_mums": len(mums),
-        "n_intervals": len(ivs.intervals),
+        "unit": "s", "cache": cache, "bases": 2 * L,
+        "n_mums": len(mums), "n_intervals": len(ivs.intervals),
         "bases_per_s": round(2 * L / dt1, 1),
         "marginal_s": round(dt2, 2),
-        "marginal_bases_per_s": round(2 * L / dt2, 1)}), flush=True)
+        "marginal_bases_per_s": round(2 * L / dt2, 1),
+        "marginal_stages_s": stages,
+        **_quality_stats(ivs)})
 
 
 def phase_progressive_9(tmpdir, n=9, length=1_000_000):
+    import numpy as np
+    from libmems_tpu import trace
     from libmems_tpu.backbone import (apply_backbone,
                                       write_backbone_columns,
                                       write_backbone_seq_coordinates)
@@ -102,31 +186,107 @@ def phase_progressive_9(tmpdir, n=9, length=1_000_000):
     from libmems_tpu.progressive import ProgressiveConfig, progressive_align
     from libmems_tpu.sequence import Genome
 
+    cache = _cache_state()
     fam = _mutant_family(n, length)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     genomes = [Genome(name=f"g{i}", ascii=lut[g], codes=g)
                for i, g in enumerate(fam)]
+    trace.set_enabled(True)
+    trace.reset()
     t0 = time.perf_counter()
-    ivs, tree = progressive_align(
-        genomes, ProgressiveConfig(refine=False))
+    # refine=True IS the default (PA.cpp:1118 refineAlignment runs by
+    # default in the reference); its cost is reported separately below
+    ivs, tree = progressive_align(genomes, ProgressiveConfig())
     t1 = time.perf_counter()
     new_ivs, segments = apply_backbone(ivs)
     write_xmfa(f"{tmpdir}/nine.xmfa", new_ivs)
     write_backbone_seq_coordinates(f"{tmpdir}/nine.bbseq", segments, n)
     write_backbone_columns(f"{tmpdir}/nine.bbcols", segments)
     t2 = time.perf_counter()
+    stages = trace.stage_seconds()
+    trace.set_enabled(False)
     total = sum(len(g) for g in fam)
-    print(json.dumps({
+    refine_s = stages.get("refine", 0.0)
+    _emit({
         "metric": "progressive9_to_xmfa_s", "value": round(t2 - t0, 2),
-        "unit": "s", "bases": total, "align_s": round(t1 - t0, 2),
+        "unit": "s", "cache": cache, "bases": total,
+        "align_s": round(t1 - t0, 2),
+        "refine_s": round(refine_s, 2),
+        "align_no_refine_s": round(t1 - t0 - refine_s, 2),
         "backbone_s": round(t2 - t1, 2),
         "n_intervals": len(new_ivs.intervals),
         "n_backbone_segments": len(segments),
-        "bases_per_s": round(total / (t2 - t0), 1)}), flush=True)
+        "bases_per_s": round(total / (t2 - t0), 1),
+        "stages_s": stages,
+        **_quality_stats(ivs)})
+
+
+README_BEGIN = "<!-- BENCH_E2E_TABLE_BEGIN -->"
+README_END = "<!-- BENCH_E2E_TABLE_END -->"
+
+
+def render_readme():
+    """Rewrite README.md's e2e performance table from bench_results.json
+    (one source of truth; VERDICT r3 weak 2)."""
+    with open(RESULTS_PATH) as fh:
+        acc = json.load(fh)
+    lines = [
+        README_BEGIN,
+        "<!-- generated by `python bench_e2e.py --render-readme`;"
+        " do not edit by hand -->",
+        "| benchmark | first-in-process | marginal | quality |",
+        "|---|---|---|---|",
+    ]
+    p = acc.get("pair_align_to_xmfa_s")
+    if p:
+        lines.append(
+            f"| 2 x 4.6 Mbp pair -> LCBs -> gapped XMFA | "
+            f"{p['value']} s ({p['cache']} cache) | "
+            f"{p['marginal_s']} s ({p['marginal_bases_per_s'] / 1e6:.2f}"
+            f" Mbases/s) | SP {p['sp_score']:.3g}, "
+            f"{p['multi_aligned_base_frac'] * 100:.1f}% bases aligned |")
+    q = acc.get("progressive9_to_xmfa_s")
+    if q:
+        lines.append(
+            f"| 9 x 1 Mbp progressive + backbone -> XMFA | "
+            f"{q['value']} s ({q['cache']} cache; align "
+            f"{q['align_s']} s of which refine {q['refine_s']} s, "
+            f"backbone {q['backbone_s']} s) | — | SP {q['sp_score']:.3g}, "
+            f"{q['multi_aligned_base_frac'] * 100:.1f}% bases aligned |")
+    m = acc.get("mum_find_bases_per_s")
+    if m:
+        lines.append(
+            f"| MUM discovery kernel (bench.py) | — | "
+            f"{m['value'] / 1e6:.1f} Mbases/s ({m['vs_baseline']:.1f}x "
+            f"single-core numpy twin) | — |")
+    lines.append(README_END)
+    block = "\n".join(lines)
+
+    readme = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "README.md")
+    with open(readme) as fh:
+        text = fh.read()
+    b = text.find(README_BEGIN)
+    e = text.find(README_END)
+    if b < 0 or e < 0:
+        raise SystemExit(
+            f"README.md lacks {README_BEGIN}/{README_END} markers")
+    text = text[:b] + block + text[e + len(README_END):]
+    with open(readme, "w") as fh:
+        fh.write(text)
+    print(f"README table regenerated from {RESULTS_PATH}")
 
 
 def main():
     import tempfile
+    if "--render-readme" in sys.argv:
+        render_readme()
+        return
+    if "--cold" in sys.argv:
+        # fresh persistent cache BEFORE any libmems_tpu/jax import:
+        # measures the true first-ever-run cost (full remote compiles)
+        cold_dir = tempfile.mkdtemp(prefix="libmems_cold_cache_")
+        os.environ["LIBMEMS_TPU_COMPILE_CACHE"] = cold_dir
     with tempfile.TemporaryDirectory() as td:
         if "--nine-only" not in sys.argv:
             phase_pair_to_xmfa(td)
