@@ -106,32 +106,8 @@ def _cache_state() -> str:
 
 
 def _quality_stats(ivs):
-    """SP score + coverage/column stats of a final IntervalList."""
-    import numpy as np
-    from libmems_tpu.scoring import sp_score
-    total_sp = 0.0
-    aligned_cols = 0
-    core_cols = 0          # columns where every genome has a char
-    aligned_bases = 0
-    for iv in ivs.intervals:
-        rows = iv.render(ivs.genomes)
-        present = (rows != ord("-"))
-        n_present_rows = int((present.any(axis=1)).sum())
-        if n_present_rows < 2:
-            continue
-        total_sp += float(sp_score(rows))
-        occ = present.sum(axis=0)
-        aligned_cols += int(rows.shape[1])
-        core_cols += int((occ == rows.shape[0]).sum())
-        aligned_bases += int(present.sum())
-    total_bases = sum(len(g) for g in ivs.genomes)
-    return {
-        "sp_score": round(total_sp, 1),
-        "aligned_columns": aligned_cols,
-        "core_columns": core_cols,
-        "multi_aligned_base_frac": round(aligned_bases / max(
-            total_bases, 1), 4),
-    }
+    from libmems_tpu.scoring import alignment_quality_stats
+    return alignment_quality_stats(ivs)
 
 
 def phase_pair_to_xmfa(tmpdir):

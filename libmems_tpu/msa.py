@@ -160,6 +160,53 @@ def _bipartitions(tree: TreeNode, G: int) -> list[np.ndarray]:
     return parts
 
 
+def refine_windows(chunks: list[np.ndarray], iters: int = 1
+                   ) -> list[np.ndarray]:
+    """Batched single-row-bipartition refinement across MANY windows.
+
+    The windowed refinement pass (refineAlignment, PA.cpp:1118-1239)
+    produces dozens-to-hundreds of column windows per block; running
+    RefineFast per window serially costs one device DP dispatch per
+    (window, row) pair.  Here each row-bipartition round runs ONE
+    align_profile_batch over every window, and acceptance (keep iff the
+    window's sum-of-pairs score improves) stays per-window — identical
+    results to mapping `refine(..., tree=None)` over the windows, at
+    1/len(chunks) the dispatch count.
+    """
+    if not chunks:
+        return []
+    G = chunks[0].shape[0]
+    if G < 3:
+        return list(chunks)
+    best = [c for c in chunks]
+    best_score = [sp_score(codes_rows_to_ascii(b)) for b in best]
+    for _ in range(iters):
+        improved = np.zeros(len(best), dtype=bool)
+        for g in range(G):
+            mask = np.zeros(G, dtype=bool)
+            mask[g] = True
+            ps = [_drop_all_gap_columns(b[mask]) for b in best]
+            qs = [_drop_all_gap_columns(b[~mask]) for b in best]
+            live = [w for w in range(len(best))
+                    if ps[w].shape[1] and qs[w].shape[1]]
+            if not live:
+                continue
+            merged = align_profile_batch([ps[w] for w in live],
+                                         [qs[w] for w in live])
+            order = np.concatenate([np.flatnonzero(mask),
+                                    np.flatnonzero(~mask)])
+            for w, m in zip(live, merged):
+                restored = np.empty_like(m)
+                restored[order] = m
+                score = sp_score(codes_rows_to_ascii(restored))
+                if score > best_score[w]:
+                    best[w], best_score[w] = restored, score
+                    improved[w] = True
+        if not improved.any():
+            break
+    return best
+
+
 def refine(rows: np.ndarray, tree: TreeNode | None = None,
            iters: int = 1) -> np.ndarray:
     """Tree-bipartition iterative refinement: split rows along each guide

@@ -1042,20 +1042,24 @@ def progressive_align(genomes: list[Genome],
         trace.progress("progressive", ni + 1, len(internals))
 
     root_aln = node_aln[id(tree)]
+    order = np.argsort(root_aln.leaf_ids)
+    cgas = [CompactAlignment(starts=blk.starts[order],
+                             bits=blk.bits[order])
+            for blk in root_aln.blocks]
+    rows_list = [cga.render(genomes) for cga in cgas]
+    if cfg.refine:
+        do = [blk.bits.any(axis=1).sum() > 2 for blk in root_aln.blocks]
+        with trace.stage("refine"):
+            refined = refine_blocks_windowed(
+                [r for r, d in zip(rows_list, do) if d])
+        it = iter(refined)
+        rows_list = [next(it) if d else r
+                     for r, d in zip(rows_list, do)]
     intervals = []
-    for blk in root_aln.blocks:
-        # reorder rows to genome order
-        order = np.argsort(root_aln.leaf_ids)
-        cga = CompactAlignment(starts=blk.starts[order],
-                               bits=blk.bits[order])
-        rows = cga.render(genomes)
-        if cfg.refine and (blk.bits.any(axis=1).sum() > 2):
-            with trace.stage("refine"):
-                rows = refine_rows_windowed(rows)
-        lens = cga.lengths()
+    for cga, rows in zip(cgas, rows_list):
         intervals.append(Interval(
             blocks=[Block(starts=cga.starts.copy(),
-                          lengths=lens, rows=rows)],
+                          lengths=cga.lengths(), rows=rows)],
             seq_count=G))
     return IntervalList(intervals, list(genomes)), tree
 
@@ -1121,33 +1125,65 @@ def _refine_windows(rows: np.ndarray) -> list[tuple[int, int, bool]]:
     return out
 
 
-def refine_rows_windowed(rows: np.ndarray,
-                         window: int | None = None) -> np.ndarray:
+def refine_blocks_windowed(rows_list: list[np.ndarray]
+                           ) -> list[np.ndarray]:
     """Windowed iterative refinement of final alignment rows
     (refineAlignment, PA.cpp:1118-1239): split out large one-sided gap
-    runs, halve the rest into density-scaled windows, re-align each with
-    the MSA refiner (which keeps a window's result only when its
-    sum-of-pairs score improves), and splice."""
-    from libmems_tpu.msa import refine as msa_refine
+    runs, halve the rest into density-scaled windows, re-align with the
+    MSA refiner (which keeps a window's result only when its
+    sum-of-pairs score improves), and splice.
+
+    Batched (r4): the refine windows of ALL blocks run through ONE
+    msa.refine_windows call — each bipartition round is a single
+    batched device DP over every window instead of one dispatch per
+    (block, window, row), which dominated config-4 wall clock."""
+    from libmems_tpu.msa import refine_windows
     from libmems_tpu.scoring import ascii_rows_to_codes, \
         codes_rows_to_ascii
-    G, C = rows.shape
-    if C <= MIN_REFINE_WINDOW:
-        return rows
-    parts = []
-    for lo, hi, do_refine in _refine_windows(rows):
-        chunk = rows[:, lo:hi]
-        if not do_refine:
-            parts.append(chunk)
+
+    plans = []          # per block: list of (lo, hi, job_index | None)
+    jobs: list[np.ndarray] = []
+    for rows in rows_list:
+        G, C = rows.shape
+        if C <= MIN_REFINE_WINDOW:
+            plans.append(None)
             continue
-        codes = ascii_rows_to_codes(chunk)
-        refined = msa_refine(codes, tree=None, iters=1)
-        out = codes_rows_to_ascii(refined)
-        # restore original characters (IUPAC codes survive refinement)
-        restored = np.full_like(out, ord("-"))
-        for g in range(G):
-            src = chunk[g][chunk[g] != ord("-")]
-            sel = out[g] != ord("-")
-            restored[g, sel] = src
-        parts.append(restored)
-    return np.concatenate(parts, axis=1)
+        plan = []
+        for lo, hi, do_refine in _refine_windows(rows):
+            if do_refine:
+                plan.append((lo, hi, len(jobs)))
+                jobs.append(ascii_rows_to_codes(rows[:, lo:hi]))
+            else:
+                plan.append((lo, hi, None))
+        plans.append(plan)
+
+    refined = refine_windows(jobs, iters=1)
+
+    out_list = []
+    for rows, plan in zip(rows_list, plans):
+        if plan is None:
+            out_list.append(rows)
+            continue
+        G = rows.shape[0]
+        parts = []
+        for lo, hi, ji in plan:
+            chunk = rows[:, lo:hi]
+            if ji is None:
+                parts.append(chunk)
+                continue
+            out = codes_rows_to_ascii(refined[ji])
+            # restore original characters (IUPAC codes survive refinement)
+            restored = np.full_like(out, ord("-"))
+            for g in range(G):
+                src = chunk[g][chunk[g] != ord("-")]
+                sel = out[g] != ord("-")
+                restored[g, sel] = src
+            parts.append(restored)
+        out_list.append(np.concatenate(parts, axis=1))
+    return out_list
+
+
+def refine_rows_windowed(rows: np.ndarray,
+                         window: int | None = None) -> np.ndarray:
+    """Single-block wrapper of refine_blocks_windowed."""
+    return refine_blocks_windowed([rows])[0]

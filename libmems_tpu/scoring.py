@@ -118,6 +118,36 @@ def consensus_score(rows: np.ndarray,
     return total, letters[best]
 
 
+def alignment_quality_stats(ivs) -> dict:
+    """SP score + coverage/column stats of a final IntervalList — the
+    content-quality metrics tracked independently of byte-golden
+    stability (SURVEY §4.4's external-validation role; computeSPScore,
+    Scoring.h).  Used by bench_e2e.py's JSON and the tolerant-threshold
+    quality gate (tests/test_quality_gate.py)."""
+    total_sp = 0.0
+    aligned_cols = 0
+    core_cols = 0          # columns where every genome has a char
+    aligned_bases = 0
+    for iv in ivs.intervals:
+        rows = iv.render(ivs.genomes)
+        present = rows != GAP
+        if int(present.any(axis=1).sum()) < 2:
+            continue
+        total_sp += float(sp_score(rows))
+        occ = present.sum(axis=0)
+        aligned_cols += int(rows.shape[1])
+        core_cols += int((occ == rows.shape[0]).sum())
+        aligned_bases += int(present.sum())
+    total_bases = sum(len(g) for g in ivs.genomes)
+    return {
+        "sp_score": round(total_sp, 1),
+        "aligned_columns": aligned_cols,
+        "core_columns": core_cols,
+        "multi_aligned_base_frac": round(
+            aligned_bases / max(total_bases, 1), 4),
+    }
+
+
 def codes_rows_to_ascii(rows: np.ndarray) -> np.ndarray:
     """uint8 code rows (0-3, 4=gap) -> ASCII rows with '-'."""
     table = np.frombuffer(b"ACGT-", dtype=np.uint8)
