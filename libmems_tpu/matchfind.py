@@ -488,7 +488,7 @@ def _fused_pair_pipeline(seed_len: int, chunk: int, pos_bits: int,
     Static shapes.  (A bitonic-merge variant over pre-sorted per-genome
     words was evaluated and retired: the XLA network measured 246ms vs
     88ms for lax.sort, and the blocked Pallas version cannot be lowered
-    by the current TPU toolchain — PERF.md rule 16.)  Returns (starts
+    by the current TPU toolchain — PERF.md rule 16, resolved r4 by host-stepped rounds.)  Returns (starts
     int32[EC, 2], lengths, valid, n_rows, n_reps) with the same
     contract as _fused_mum_pipeline.
     """

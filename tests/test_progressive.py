@@ -209,7 +209,10 @@ def test_progressive_five_genomes_coverage():
         p = int(r.integers(2000, 6000))
         g = np.concatenate([g[:p], g[p + int(r.integers(1, 20)):]])
         gs.append(lm.Genome.from_string(to_str(g), name=f"g{i}"))
-    ivs, tree = progressive_align(gs, ProgressiveConfig())
+    # refine=False: the refined final-row path is covered by
+    # test_progressive_three_genomes (default config) and the quality
+    # gate; on the CPU mesh refine costs minutes of DP per test
+    ivs, tree = progressive_align(gs, ProgressiveConfig(refine=False))
     assert _coverage_exact(ivs, gs)
     assert _content_exact(ivs, gs)
 
@@ -231,7 +234,7 @@ def test_progressive_validate_and_forest(trio):
     translation round-trips."""
     from libmems_tpu.progressive import translate_leaf_to_node
     ivs, tree = progressive_align(
-        trio, ProgressiveConfig(validate=True))
+        trio, ProgressiveConfig(validate=True, refine=False))
     # every node of the tree carries its NodeAlignment
     for node in tree.postorder():
         assert hasattr(node, "alignment")
@@ -253,7 +256,8 @@ def test_progressive_validate_and_forest(trio):
 def test_validate_node_alignment_rejects_corruption(trio):
     from libmems_tpu.validate import (ValidationError,
                                       validate_node_alignment)
-    ivs, tree = progressive_align(trio, ProgressiveConfig())
+    # refine only reshapes final interval rows, never node alignments
+    ivs, tree = progressive_align(trio, ProgressiveConfig(refine=False))
     aln = tree.alignment
     import copy
     bad = copy.deepcopy(aln)
