@@ -178,6 +178,8 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
     G = chunks[0].shape[0]
     if G < 3:
         return list(chunks)
+    from libmems_tpu.ops.profile import (profile_path_score,
+                                         profile_scores_batch)
     best = [c for c in chunks]
     best_score = [sp_score(codes_rows_to_ascii(b)) for b in best]
     for _ in range(iters):
@@ -191,11 +193,27 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
                     if ps[w].shape[1] and qs[w].shape[1]]
             if not live:
                 continue
-            merged = align_profile_batch([ps[w] for w in live],
-                                         [qs[w] for w in live])
+            # score gate: a traceback transfers DP-cells/2 pointer
+            # bytes, so run it ONLY where the forward-optimal score
+            # beats the current alignment's own path score (most
+            # windows of a near-identical family are already optimal).
+            # tol absorbs f32-forward vs f64-path accumulation drift;
+            # improvements below it are sub-mismatch noise.
+            dp = profile_scores_batch([ps[w] for w in live],
+                                      [qs[w] for w in live])
+            cand = []
+            for i, w in enumerate(live):
+                cur = profile_path_score(best[w][mask], best[w][~mask])
+                tol = 1e-4 * abs(cur) + 10.0
+                if dp[i] > cur + tol:
+                    cand.append(w)
+            if not cand:
+                continue
+            merged = align_profile_batch([ps[w] for w in cand],
+                                         [qs[w] for w in cand])
             order = np.concatenate([np.flatnonzero(mask),
                                     np.flatnonzero(~mask)])
-            for w, m in zip(live, merged):
+            for w, m in zip(cand, merged):
                 restored = np.empty_like(m)
                 restored[order] = m
                 score = sp_score(codes_rows_to_ascii(restored))

@@ -206,6 +206,94 @@ def _shard_ptrs(mesh, gap_open, gap_extend):
         in_specs=(P(_DP_AXIS),) * 6, out_specs=P(_DP_AXIS))
 
 
+def _bucket_cols(n, minimum=16):
+    """Padded column bucket: 4x-spaced below 4096 (round-trips dominate
+    padding waste for small windows), 1.5x-spaced above (at refine-window
+    scale the DP is quadratic in the pad, so coarse buckets would waste
+    >2x the compute; extra buckets only cost one-time compiles)."""
+    b = minimum
+    while b < n and b < 4096:
+        b *= 4
+    while b < n:
+        b = b * 3 // 2
+    return b
+
+
+def profile_scores_batch(p_rows: list[np.ndarray],
+                         q_rows: list[np.ndarray],
+                         gap_open: int = GAP_OPEN,
+                         gap_extend: int = GAP_EXTEND) -> np.ndarray:
+    """Forward-only DP scores of many (p, q) profile pairs — no
+    checkpoints kept (K = M: the scan carries one row), no traceback,
+    only a float32[B] fetch.
+
+    The gate for score-gated refinement (msa.refine_windows): tracebacks
+    transfer packed pointers at DP-cells/2 bytes, which at refine-window
+    scale is GBs over the device link, so the expensive traceback runs
+    ONLY for pairs whose optimal score beats their current alignment's
+    path score (PERF.md rule 20)."""
+    B = len(p_rows)
+    if B == 0:
+        return np.zeros(0, np.float64)
+    out = np.zeros(B, dtype=np.float64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for k in range(B):
+        key = (_bucket_cols(p_rows[k].shape[1]),
+               _bucket_cols(q_rows[k].shape[1]))
+        buckets.setdefault(key, []).append(k)
+    for (M, N), idxs in buckets.items():
+        nbi = len(idxs)
+        nbp = _bucket_cols(nbi, 4)
+        Mp = -(-M // CKPT_ROWS) * CKPT_ROWS
+        p = np.zeros((nbp, Mp, 5), dtype=np.float32)
+        q = np.zeros((nbp, N, 5), dtype=np.float32)
+        p_len = np.zeros(nbp, dtype=np.int32)
+        q_len = np.zeros(nbp, dtype=np.int32)
+        for r, k in enumerate(idxs):
+            cp, cq = p_rows[k].shape[1], q_rows[k].shape[1]
+            p[r, :cp] = rows_to_profile(p_rows[k])
+            q[r, :cq] = rows_to_profile(q_rows[k])
+            p_len[r], q_len[r] = cp, cq
+        score, _, _ = profile_forward_ckpt(
+            jnp.asarray(p), jnp.asarray(q), jnp.asarray(p_len),
+            jnp.asarray(q_len), gap_open, gap_extend, Mp)
+        s = np.asarray(score)
+        for r, k in enumerate(idxs):
+            out[k] = float(s[r])
+    return out
+
+
+def profile_path_score(p_rows: np.ndarray, q_rows: np.ndarray,
+                       gap_open: int = GAP_OPEN,
+                       gap_extend: int = GAP_EXTEND) -> float:
+    """DP-objective score of the CURRENT alignment of two row groups
+    (the path the existing merged columns describe), under exactly the
+    model profile_forward_ckpt optimizes: expected-W5 substitution on
+    both-present columns, affine gaps with occupancy-scaled extends.
+    profile_scores_batch(optimal) <= this + tol  <=>  the DP cannot
+    improve the pair, so its traceback can be skipped."""
+    p_present = (p_rows != GAP_CODE).any(axis=0)
+    q_present = (q_rows != GAP_CODE).any(axis=0)
+    keep = p_present | q_present
+    p_prof = rows_to_profile(p_rows)[keep]          # [C, 5]
+    q_prof = rows_to_profile(q_rows)[keep]
+    p_present = p_present[keep]
+    q_present = q_present[keep]
+    diag = p_present & q_present
+    w = W5.astype(np.float64)
+    sub = float(np.einsum("cx,xy,cy->", p_prof[diag].astype(np.float64),
+                          w, q_prof[diag].astype(np.float64)))
+    ext_p = gap_extend * (1.0 - p_prof[:, GAP_CODE].astype(np.float64))
+    ext_q = gap_extend * (1.0 - q_prof[:, GAP_CODE].astype(np.float64))
+    f_move = p_present & ~q_present     # consume p col, gap in q
+    e_move = q_present & ~p_present
+    gaps = 0.0
+    for move, ext in ((f_move, ext_p), (e_move, ext_q)):
+        opens = int((move & ~np.concatenate([[False], move[:-1]])).sum())
+        gaps += opens * gap_open + float(ext[move].sum())
+    return sub + gaps
+
+
 def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
                         gap_open: int = GAP_OPEN,
                         gap_extend: int = GAP_EXTEND,
@@ -229,26 +317,17 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
     n_dev = mesh.devices.size if mesh is not None else 1
     results: list = [None] * B
 
-    def bucket(n, minimum=16, step=4):
-        # coarse (4x-spaced) column buckets: every (M, N) bucket is one
-        # device dispatch + one traceback fetch round-trip, and on the
-        # remote tunnel the round-trips dominate the padded-compute
-        # waste by orders of magnitude
-        b = minimum
-        while b < n:
-            b *= step
-        return b
-
     buckets: dict[tuple[int, int], list[int]] = {}
     for k in range(B):
-        key = (bucket(p_rows[k].shape[1]), bucket(q_rows[k].shape[1]))
+        key = (_bucket_cols(p_rows[k].shape[1]),
+               _bucket_cols(q_rows[k].shape[1]))
         buckets.setdefault(key, []).append(k)
 
     from libmems_tpu.ops.gapped import traceback_blocks
 
     for (M, N), idxs in buckets.items():
         nbi = len(idxs)
-        nbp = max(bucket(nbi, 4), n_dev)
+        nbp = max(_bucket_cols(nbi, 4), n_dev)
         K = min(CKPT_ROWS, M)
         Mp = -(-M // K) * K
         p = np.zeros((nbp, Mp, 5), dtype=np.float32)
