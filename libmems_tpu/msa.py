@@ -178,6 +178,7 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
     G = chunks[0].shape[0]
     if G < 3:
         return list(chunks)
+    from libmems_tpu import trace
     from libmems_tpu.ops.profile import (profile_path_score,
                                          profile_scores_batch)
     best = [c for c in chunks]
@@ -187,8 +188,9 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
         for g in range(G):
             mask = np.zeros(G, dtype=bool)
             mask[g] = True
-            ps = [_drop_all_gap_columns(b[mask]) for b in best]
-            qs = [_drop_all_gap_columns(b[~mask]) for b in best]
+            with trace.stage("profiles"):
+                ps = [_drop_all_gap_columns(b[mask]) for b in best]
+                qs = [_drop_all_gap_columns(b[~mask]) for b in best]
             live = [w for w in range(len(best))
                     if ps[w].shape[1] and qs[w].shape[1]]
             if not live:
@@ -199,27 +201,32 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
             # windows of a near-identical family are already optimal).
             # tol absorbs f32-forward vs f64-path accumulation drift;
             # improvements below it are sub-mismatch noise.
-            dp = profile_scores_batch([ps[w] for w in live],
-                                      [qs[w] for w in live])
+            with trace.stage("gate_forward"):
+                dp = profile_scores_batch([ps[w] for w in live],
+                                          [qs[w] for w in live])
             cand = []
-            for i, w in enumerate(live):
-                cur = profile_path_score(best[w][mask], best[w][~mask])
-                tol = 1e-4 * abs(cur) + 10.0
-                if dp[i] > cur + tol:
-                    cand.append(w)
+            with trace.stage("gate_path_score"):
+                for i, w in enumerate(live):
+                    cur = profile_path_score(best[w][mask],
+                                             best[w][~mask])
+                    tol = 1e-4 * abs(cur) + 10.0
+                    if dp[i] > cur + tol:
+                        cand.append(w)
             if not cand:
                 continue
-            merged = align_profile_batch([ps[w] for w in cand],
-                                         [qs[w] for w in cand])
+            with trace.stage("traceback_dp"):
+                merged = align_profile_batch([ps[w] for w in cand],
+                                             [qs[w] for w in cand])
             order = np.concatenate([np.flatnonzero(mask),
                                     np.flatnonzero(~mask)])
-            for w, m in zip(cand, merged):
-                restored = np.empty_like(m)
-                restored[order] = m
-                score = sp_score(codes_rows_to_ascii(restored))
-                if score > best_score[w]:
-                    best[w], best_score[w] = restored, score
-                    improved[w] = True
+            with trace.stage("accept"):
+                for w, m in zip(cand, merged):
+                    restored = np.empty_like(m)
+                    restored[order] = m
+                    score = sp_score(codes_rows_to_ascii(restored))
+                    if score > best_score[w]:
+                        best[w], best_score[w] = restored, score
+                        improved[w] = True
         if not improved.any():
             break
     return best

@@ -1065,7 +1065,16 @@ def progressive_align(genomes: list[Genome],
 
 
 MIN_REFINE_WINDOW = 200      # ProgressiveAligner.cpp:57
-MAX_REFINE_WINDOW = 20000    # ProgressiveAligner.cpp:58
+# The reference used max_window_size=20000 (PA.cpp:58) — tuned for
+# IN-PROCESS MUSCLE where a window costs only CPU time.  Here a refined
+# window's traceback moves packed DP pointers (~cols^2/2 bytes) over
+# the device link, so the cap is TPU-tuned: at 2560 an accepted
+# window's pointer transfer is ~3 MB instead of ~200 MB, and the
+# density-scaled caps (853/2560/7680) still bracket the reference's
+# shape.  Gap moves longer than the window are split across adjacent
+# windows over refinement rounds, and SP-acceptance guarantees the
+# result never regresses either way.
+MAX_REFINE_WINDOW = 2560
 MIN_DENSITY = 0.5            # ProgressiveAligner.cpp:59
 MAX_DENSITY = 0.9            # ProgressiveAligner.cpp:60
 BIG_GAP_RUN = 200            # one-sided gap runs split out, not refined
