@@ -28,6 +28,7 @@ reference is defined at the anchor framework level (SURVEY.md M4).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -201,6 +202,92 @@ def unpack_ptrs(packed: np.ndarray, width: int) -> np.ndarray:
     return out[:, :, :width]
 
 
+# device-side traceback engages when the full pointer tensor fits this
+# many bytes on device (B * M * (N+1)); above it, the host blockwise
+# walk with per-block pointer fetches takes over
+DEVICE_TB_BUDGET = int(os.environ.get("LIBMEMS_TPU_DEVICE_TB_BUDGET",
+                                      1 << 30))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _device_tb_scan(ptrs, a_len, b_len, T: int):
+    """On-device traceback walk over a full pointer tensor.
+
+    The host traceback fetches packed pointers at DP-cells/2 bytes —
+    the dominant transfer of the whole gapped stage (PERF rule 20).
+    Walking on device instead fetches only T/8 x B bit rows: each scan
+    step is one [B] gather + elementwise state updates, the exact state
+    machine of traceback_blocks.  T = 2(M+N)+4 bounds the walk (every
+    step consumes a row/column or enters E/F, which happens at most
+    once per emitted column).  Returns bit-packed (steps, a_gaps,
+    b_gaps) uint8[T/8, B]."""
+    B, M, N1 = ptrs.shape
+    flat = ptrs.reshape(B, M * N1)
+    i0 = a_len.astype(jnp.int32)
+    j0 = b_len.astype(jnp.int32)
+    st0 = jnp.zeros_like(i0)
+
+    def step(carry, _):
+        i, j, st = carry
+        active = (i > 0) | (j > 0)
+        c0 = active & (i == 0)
+        c1 = active & (i > 0) & (j == 0)
+        c2 = active & (i > 0) & (j > 0)
+        lin = jnp.clip((i - 1) * N1 + j, 0, M * N1 - 1)
+        byte = jnp.take_along_axis(flat, lin[:, None], axis=1)[:, 0]
+        was_h = c2 & (st == 0)
+        was_e = c2 & (st == 1)
+        was_f = c2 & (st == 2)
+        newst = (byte & 3).astype(st.dtype)
+        dm = was_h & (newst == 0)
+        a_gap = c0 | was_e
+        b_gap = c1 | was_f
+        emitted = c0 | c1 | dm | was_e | was_f
+        i = i - (c1 | dm | was_f).astype(i.dtype)
+        j = j - (c0 | dm | was_e).astype(j.dtype)
+        st = jnp.where(was_h, newst,
+                       jnp.where(was_e,
+                                 jnp.where((byte & E_EXT_BIT) != 0, 1, 0),
+                                 jnp.where(was_f,
+                                           jnp.where((byte & F_EXT_BIT)
+                                                     != 0, 2, 0), st)))
+        return (i, j, st), (emitted, a_gap, b_gap)
+
+    _, (steps, agaps, bgaps) = jax.lax.scan(
+        step, (i0, j0, st0), None, length=T)
+    pack = lambda x: jnp.packbits(x.astype(jnp.uint8), axis=0)
+    return pack(steps), pack(agaps), pack(bgaps)
+
+
+def _device_tb_T(M: int, N: int) -> int:
+    t = 2 * (M + N) + 4
+    return -(-t // 8) * 8
+
+
+def tb_unpack(packed, n_pairs: int, T: int):
+    """Host tail of the device walk: unpack the bit rows and compact to
+    per-pair (a_gaps, b_gaps) masks (traceback_blocks' contract)."""
+    sp, ap, bp = packed
+    steps = np.unpackbits(np.asarray(sp), axis=0, count=T).astype(bool)
+    agaps = np.unpackbits(np.asarray(ap), axis=0, count=T).astype(bool)
+    bgaps = np.unpackbits(np.asarray(bp), axis=0, count=T).astype(bool)
+    out = []
+    for k in range(n_pairs):
+        sel = steps[:, k]
+        out.append((agaps[sel, k][::-1].copy(),
+                    bgaps[sel, k][::-1].copy()))
+    return out
+
+
+def device_traceback(ptrs, a_len: np.ndarray, b_len: np.ndarray,
+                     T: int):
+    """Run the on-device walk and compact to per-pair gap masks (same
+    output contract as traceback_blocks)."""
+    packed = _device_tb_scan(ptrs, jnp.asarray(a_len),
+                             jnp.asarray(b_len), T)
+    return tb_unpack(packed, len(a_len), T)
+
+
 def traceback_blocks(fetch_block, nb: int, K: int, a_len: np.ndarray,
                      b_len: np.ndarray):
     """Batched affine traceback over checkpointed pointer blocks.
@@ -325,16 +412,26 @@ def align_pairs(pairs: list[tuple[np.ndarray, np.ndarray]],
         aj = jnp.asarray(a_arr)
         bj = jnp.asarray(b_arr)
         blj = jnp.asarray(b_len)
-        score, ck_h, ck_f = _gotoh_forward_ckpt(
-            aj, bj, jnp.asarray(a_len), blj, gap_open, gap_extend, K)
+        if Bpad * Mp * (N + 1) <= DEVICE_TB_BUDGET:
+            # full pointer tensor fits on device: derive it in one
+            # forward and walk it there (fetch = gap-mask bits only)
+            h0, f0 = _gotoh_h0f0(Bpad, N, gap_open, gap_extend)
+            ptrs = _gotoh_block_ptrs(h0, f0, aj, bj, blj,
+                                     gap_open, gap_extend)
+            tb = device_traceback(ptrs, a_len, b_len,
+                                  _device_tb_T(Mp, N))
+        else:
+            score, ck_h, ck_f = _gotoh_forward_ckpt(
+                aj, bj, jnp.asarray(a_len), blj, gap_open, gap_extend, K)
 
-        def fetch(bi, aj=aj, bj=bj, blj=blj, ck_h=ck_h, ck_f=ck_f, K=K,
-                  N=N):
-            return unpack_ptrs(np.asarray(pack_ptrs(_gotoh_block_ptrs(
-                ck_h[bi], ck_f[bi], aj[:, bi * K:(bi + 1) * K], bj, blj,
-                gap_open, gap_extend))), N + 1)
+            def fetch(bi, aj=aj, bj=bj, blj=blj, ck_h=ck_h, ck_f=ck_f,
+                      K=K, N=N):
+                return unpack_ptrs(np.asarray(pack_ptrs(
+                    _gotoh_block_ptrs(
+                        ck_h[bi], ck_f[bi], aj[:, bi * K:(bi + 1) * K],
+                        bj, blj, gap_open, gap_extend))), N + 1)
 
-        tb = traceback_blocks(fetch, Mp // K, K, a_len, b_len)
+            tb = traceback_blocks(fetch, Mp // K, K, a_len, b_len)
         for row, idx in enumerate(idxs):
             results[idx] = tb[row]
     return results

@@ -206,6 +206,37 @@ def _shard_ptrs(mesh, gap_open, gap_extend):
         in_specs=(P(_DP_AXIS),) * 6, out_specs=P(_DP_AXIS))
 
 
+def _full_ptr_tb(p, ext_p, q, q_len, p_len, gap_open: int,
+                 gap_extend: int, T: int):
+    """Derive the FULL pointer tensor in one forward scan and walk the
+    traceback on device (ops.gapped._device_tb_scan): the fetch is
+    T/8 x B bit rows instead of DP-cells/2 pointer bytes (PERF rule
+    20's transfer wall, applied to the profile DP)."""
+    from libmems_tpu.ops.gapped import _device_tb_scan
+    qw, ext_q, ext_cum, h0, f0 = _profile_q_setup(q, gap_open,
+                                                  gap_extend)
+    row = _profile_row_fn(qw, ext_q, ext_cum, q_len, gap_open, True)
+    xs = (jnp.transpose(p, (1, 0, 2)), ext_p.T)
+    _, ptrs = jax.lax.scan(row, (h0, f0), xs)
+    ptrs = jnp.transpose(ptrs, (1, 0, 2))
+    return _device_tb_scan(ptrs, p_len, q_len, T)
+
+
+_full_ptr_tb_jit = jax.jit(_full_ptr_tb, static_argnums=(5, 6, 7))
+
+
+def _shard_full_tb(mesh, gap_open, gap_extend, T):
+    from jax.sharding import PartitionSpec as P
+
+    def f(p, ext_p, q, q_len, p_len):
+        return _full_ptr_tb(p, ext_p, q, q_len, p_len,
+                            gap_open, gap_extend, T)
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(_DP_AXIS),) * 5,
+        out_specs=(P(None, _DP_AXIS),) * 3)
+
+
 def _bucket_cols(n, minimum=16):
     """Padded column bucket: 4x-spaced below 4096 (round-trips dominate
     padding waste for small windows), 1.5x-spaced above (at refine-window
@@ -342,27 +373,41 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
         pj = jnp.asarray(p)
         qj = jnp.asarray(q)
         qlj = jnp.asarray(q_len)
-        if mesh is not None:
-            fwd = _shard_forward(mesh, gap_open, gap_extend, K)
-            ptrs_fn = _shard_ptrs(mesh, gap_open, gap_extend)
+        from libmems_tpu.ops.gapped import (DEVICE_TB_BUDGET,
+                                            _device_tb_T, tb_unpack)
+        if nbp * Mp * (N + 1) <= DEVICE_TB_BUDGET:
+            T = _device_tb_T(Mp, N)
+            ext_p = gap_extend * (1.0 - pj[:, :, GAP_CODE])
+            plj = jnp.asarray(p_len)
+            if mesh is not None:
+                packed = _shard_full_tb(mesh, gap_open, gap_extend, T)(
+                    pj, ext_p, qj, qlj, plj)
+            else:
+                packed = _full_ptr_tb_jit(pj, ext_p, qj, qlj, plj,
+                                          gap_open, gap_extend, T)
+            tb = tb_unpack(packed, nbp, T)
         else:
-            def fwd(p_, q_, pl_, ql_):
-                return profile_forward_ckpt(p_, q_, pl_, ql_,
-                                            gap_open, gap_extend, K)
+            if mesh is not None:
+                fwd = _shard_forward(mesh, gap_open, gap_extend, K)
+                ptrs_fn = _shard_ptrs(mesh, gap_open, gap_extend)
+            else:
+                def fwd(p_, q_, pl_, ql_):
+                    return profile_forward_ckpt(p_, q_, pl_, ql_,
+                                                gap_open, gap_extend, K)
 
-            def ptrs_fn(*a):
-                return profile_block_ptrs(*a, gap_open, gap_extend)
-        _, ck_h, ck_f = fwd(pj, qj, jnp.asarray(p_len), qlj)
-        ext_p = gap_extend * (1.0 - pj[:, :, GAP_CODE])
+                def ptrs_fn(*a):
+                    return profile_block_ptrs(*a, gap_open, gap_extend)
+            _, ck_h, ck_f = fwd(pj, qj, jnp.asarray(p_len), qlj)
+            ext_p = gap_extend * (1.0 - pj[:, :, GAP_CODE])
 
-        def fetch(bi, pj=pj, qj=qj, qlj=qlj, ck_h=ck_h, ck_f=ck_f,
-                  ext_p=ext_p, K=K, N=N, ptrs_fn=ptrs_fn):
-            from libmems_tpu.ops.gapped import pack_ptrs, unpack_ptrs
-            return unpack_ptrs(np.asarray(pack_ptrs(ptrs_fn(
-                ck_h[bi], ck_f[bi], pj[:, bi * K:(bi + 1) * K],
-                ext_p[:, bi * K:(bi + 1) * K], qj, qlj))), N + 1)
+            def fetch(bi, pj=pj, qj=qj, qlj=qlj, ck_h=ck_h, ck_f=ck_f,
+                      ext_p=ext_p, K=K, N=N, ptrs_fn=ptrs_fn):
+                from libmems_tpu.ops.gapped import pack_ptrs, unpack_ptrs
+                return unpack_ptrs(np.asarray(pack_ptrs(ptrs_fn(
+                    ck_h[bi], ck_f[bi], pj[:, bi * K:(bi + 1) * K],
+                    ext_p[:, bi * K:(bi + 1) * K], qj, qlj))), N + 1)
 
-        tb = traceback_blocks(fetch, Mp // K, K, p_len, q_len)
+            tb = traceback_blocks(fetch, Mp // K, K, p_len, q_len)
         for r, k in enumerate(idxs):
             p_gaps, q_gaps = tb[r]
             results[k] = merge_rows(p_rows[k], q_rows[k], p_gaps, q_gaps)
