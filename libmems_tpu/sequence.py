@@ -164,15 +164,24 @@ def _join_seq(chunks: list[bytes]) -> np.ndarray:
 
 
 def _parse_genbank_stream(fh: io.TextIOBase) -> list[tuple[str, np.ndarray]]:
-    """Minimal GenBank flat-file parser: LOCUS name + ORIGIN sequence."""
+    """Minimal GenBank flat-file parser: LOCUS name + ORIGIN sequence,
+    one record per LOCUS...// block (multi-record files supported;
+    FEATURES/annotations are skipped — this library aligns sequence, it
+    does not consume annotations; README "Scope limits").  A trailing
+    record missing its // terminator is still flushed."""
     records: list[tuple[str, np.ndarray]] = []
     name = ""
     in_origin = False
     chunks: list[bytes] = []
     for line in fh:
         if line.startswith("LOCUS"):
+            # malformed variant: a new LOCUS without a preceding //
+            # closes the open record rather than merging into it
+            if in_origin and chunks:
+                records.append((name, _join_seq(chunks)))
             parts = line.split()
             name = parts[1] if len(parts) > 1 else ""
+            in_origin, chunks = False, []
         elif line.startswith("ORIGIN"):
             in_origin = True
         elif line.startswith("//"):
@@ -181,6 +190,8 @@ def _parse_genbank_stream(fh: io.TextIOBase) -> list[tuple[str, np.ndarray]]:
         elif in_origin:
             seq = "".join(c for c in line if c.isalpha())
             chunks.append(seq.encode("ascii"))
+    if in_origin and chunks:
+        records.append((name, _join_seq(chunks)))
     return records
 
 

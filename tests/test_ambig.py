@@ -192,3 +192,47 @@ def test_trace_mem_usage(capsys):
     trace.print_mem_usage("unit", stream=sys.stderr)
     err = capsys.readouterr().err
     assert "host" in err and "device" in err
+
+
+# ---------------------------------------------------------------------------
+# GenBank parsing scope (README "Scope limits"): LOCUS + ORIGIN only,
+# multi-record and malformed-variant behavior pinned
+# ---------------------------------------------------------------------------
+
+def test_genbank_multi_record_and_features(tmp_path):
+    from libmems_tpu.sequence import read_fasta
+    gbk = tmp_path / "two.gbk"
+    gbk.write_text(
+        "LOCUS       recA 12 bp DNA\n"
+        "DEFINITION  first record\n"
+        "FEATURES             Location/Qualifiers\n"
+        "     gene            1..12\n"
+        "                     /gene=\"x\"\n"
+        "ORIGIN\n"
+        "        1 acgtacgtac gt\n"
+        "//\n"
+        "LOCUS       recB 8 bp DNA\n"
+        "ORIGIN\n"
+        "        1 ggggcccc\n"
+        "//\n")
+    gs = read_fasta(gbk, concatenate=False)
+    assert [g.name for g in gs] == ["recA", "recB"]
+    assert gs[0].to_string().upper() == "ACGTACGTACGT"
+    assert gs[1].to_string().upper() == "GGGGCCCC"
+    # concatenate=True joins records into one coordinate system,
+    # exactly like multi-contig FastA
+    one = read_fasta(gbk)
+    assert len(one) == 1
+    assert one[0].to_string().upper() == "ACGTACGTACGTGGGGCCCC"
+
+
+def test_genbank_missing_terminator_flushes(tmp_path):
+    from libmems_tpu.sequence import read_fasta
+    gbk = tmp_path / "trunc.gbk"
+    gbk.write_text(
+        "LOCUS       tr1 4 bp DNA\nORIGIN\n        1 acgt\n"
+        "LOCUS       tr2 4 bp DNA\nORIGIN\n        1 ttaa\n")
+    gs = read_fasta(gbk, concatenate=False)
+    assert [g.name for g in gs] == ["tr1", "tr2"]
+    assert gs[0].to_string().upper() == "ACGT"
+    assert gs[1].to_string().upper() == "TTAA"
