@@ -47,18 +47,32 @@ def test_sharded_two_devices(smls):
 
 
 def test_sharded_overflow_detection(smls):
+    # max_retries=0: the error path needs one compile, not four
     with pytest.raises(ValueError, match="capacity"):
-        sharded_find_mums(smls, make_mesh(8), capacity=8)
+        sharded_find_mums(smls, make_mesh(8), capacity=8, max_retries=0)
 
 
-def test_sharded_overflow_auto_retry(smls):
+def test_sharded_overflow_auto_retry(smls, monkeypatch):
     """Undersized capacity/routing buffers recover by doubling-and-
     retrying (never a wrong result): parity with the single-device path
-    from a deliberately tiny starting capacity."""
+    from an undersized starting capacity.  Capacities start just below
+    the requirement (each retry recompiles at new static shapes, ~60 s
+    apiece on the CPU mesh); the spy asserts the retry path really
+    ran."""
+    from libmems_tpu.parallel import shard as sh
+    calls = []
+    orig = sh._sharded_find_mums_once
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sh, "_sharded_find_mums_once", spy)
     ref = find_mums(smls)
-    got = sharded_find_mums(smls, make_mesh(4), capacity=256,
-                            route_cap=256, max_retries=8)
+    got = sharded_find_mums(smls, make_mesh(4), capacity=2048,
+                            route_cap=2048, max_retries=8)
     assert ref.key_set() == got.key_set()
+    assert len(calls) >= 2, "retry path was not exercised"
 
 
 @pytest.fixture(scope="module")
@@ -80,12 +94,23 @@ def test_tiled_extension_parity(small_smls):
     assert ref.key_set() == got.key_set()
 
 
-def test_tiled_extension_req_cap_retry(small_smls):
+def test_tiled_extension_req_cap_retry(small_smls, monkeypatch):
     """Undersized span-request capacity recovers by doubling (fetch
-    drops are counted and retried, never silently truncating matches)."""
+    drops are counted and retried, never silently truncating
+    matches); the spy asserts the retry really ran."""
+    from libmems_tpu.parallel import shard as sh
     from libmems_tpu.parallel.shard import sharded_find_mums_tiled
+    calls = []
+    orig = sh._sharded_tiled_once
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sh, "_sharded_tiled_once", spy)
     ref = find_mums(small_smls)
     got = sharded_find_mums_tiled(small_smls, make_mesh(4),
-                                  capacity=2048, req_cap=32,
+                                  capacity=2048, req_cap=512,
                                   max_retries=8)
     assert ref.key_set() == got.key_set()
+    assert len(calls) >= 2, "retry path was not exercised"
