@@ -183,40 +183,79 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
                                          profile_scores_batch)
     best = [c for c in chunks]
     best_score = [sp_score(codes_rows_to_ascii(b)) for b in best]
+
+    def gate(w, mask):
+        """(p, q, dp-improvable?) for window w under a row bipartition.
+        Score gate: a traceback transfers DP-cells/2 pointer bytes, so
+        it runs ONLY where the forward-optimal score beats the current
+        alignment's own path score (most windows of a near-identical
+        family are already optimal).  tol absorbs f32-forward vs
+        f64-path accumulation drift; improvements below it are
+        sub-mismatch noise."""
+        p = _drop_all_gap_columns(best[w][mask])
+        q = _drop_all_gap_columns(best[w][~mask])
+        if not (p.shape[1] and q.shape[1]):
+            return None
+        return p, q
+
+    def path_tol(w, mask):
+        cur = profile_path_score(best[w][mask], best[w][~mask])
+        return cur, 1e-4 * abs(cur) + 10.0
+
+    masks = []
+    for g in range(G):
+        m = np.zeros(G, dtype=bool)
+        m[g] = True
+        masks.append(m)
+
     for _ in range(iters):
+        # ALL (window, bipartition) gates run as ONE forward batch
+        # against the round-start state: a window none of whose
+        # bipartitions can improve is untouched this round, so gating
+        # it against round-start equals the sequential order exactly.
+        # Flagged windows re-run the sequential per-bipartition loop
+        # against their evolving state (bit-identical to the unbatched
+        # algorithm, at 1/G the forward dispatches for the common case).
+        jobs = []
+        job_key = []
+        with trace.stage("profiles"):
+            for g in range(G):
+                for w in range(len(best)):
+                    pq = gate(w, masks[g])
+                    if pq is not None:
+                        jobs.append(pq)
+                        job_key.append((g, w))
+        if not jobs:
+            break
+        with trace.stage("gate_forward"):
+            dp = profile_scores_batch([j[0] for j in jobs],
+                                      [j[1] for j in jobs])
+        flagged: list[int] = []
+        with trace.stage("gate_path_score"):
+            for i, (g, w) in enumerate(job_key):
+                cur, tol = path_tol(w, masks[g])
+                if dp[i] > cur + tol and w not in flagged:
+                    flagged.append(w)
         improved = np.zeros(len(best), dtype=bool)
         for g in range(G):
-            mask = np.zeros(G, dtype=bool)
-            mask[g] = True
-            with trace.stage("profiles"):
-                ps = [_drop_all_gap_columns(b[mask]) for b in best]
-                qs = [_drop_all_gap_columns(b[~mask]) for b in best]
-            live = [w for w in range(len(best))
-                    if ps[w].shape[1] and qs[w].shape[1]]
-            if not live:
-                continue
-            # score gate: a traceback transfers DP-cells/2 pointer
-            # bytes, so run it ONLY where the forward-optimal score
-            # beats the current alignment's own path score (most
-            # windows of a near-identical family are already optimal).
-            # tol absorbs f32-forward vs f64-path accumulation drift;
-            # improvements below it are sub-mismatch noise.
-            with trace.stage("gate_forward"):
-                dp = profile_scores_batch([ps[w] for w in live],
-                                          [qs[w] for w in live])
+            mask = masks[g]
             cand = []
+            pqs = {}
             with trace.stage("gate_path_score"):
-                for i, w in enumerate(live):
-                    cur = profile_path_score(best[w][mask],
-                                             best[w][~mask])
-                    tol = 1e-4 * abs(cur) + 10.0
-                    if dp[i] > cur + tol:
+                for w in flagged:
+                    pq = gate(w, mask)
+                    if pq is None:
+                        continue
+                    dp_w = profile_scores_batch([pq[0]], [pq[1]])[0]
+                    cur, tol = path_tol(w, mask)
+                    if dp_w > cur + tol:
                         cand.append(w)
+                        pqs[w] = pq
             if not cand:
                 continue
             with trace.stage("traceback_dp"):
-                merged = align_profile_batch([ps[w] for w in cand],
-                                             [qs[w] for w in cand])
+                merged = align_profile_batch([pqs[w][0] for w in cand],
+                                             [pqs[w][1] for w in cand])
             order = np.concatenate([np.flatnonzero(mask),
                                     np.flatnonzero(~mask)])
             with trace.stage("accept"):

@@ -141,16 +141,25 @@ def gather_key_tables(owned_smls: dict[int, "object"], n_genomes: int,
 
 
 def multihost_find_mums(genomes, seed: int | None = None, mesh=None,
-                        pairwise: bool = False, **kw):
+                        pairwise: bool = False, tiled: bool = False,
+                        **kw):
     """Host-sharded end-to-end seeding: each process builds its owned
     SMLs, key tables are exchanged once, and the seed-prefix-sharded
     finder runs over the global mesh.  Every process receives the full
     MatchArray (results are allgathered).
 
+    tiled=True routes extension through the position-tiled pipeline
+    (sharded_find_mums_tiled): after the one-time table exchange NO
+    device holds the full key table — per-DEVICE residency is
+    O(total/n_dev), the multi-host analog of dmSML's per-scratch-disk
+    residency.  Host-stepped probe rounds cost one scalar sync per
+    round across all processes.
+
     The multi-host twin of MatchList::LoadSMLs + MemHash::FindMatches
     (MatchList.h:261-349, MemHash.cpp:109) with dmSML's cross-device
     partitioning promoted to processes."""
     from libmems_tpu.parallel.shard import (sharded_find_mums,
+                                            sharded_find_mums_tiled,
                                             sharded_find_pairwise_mums)
     from libmems_tpu.sml import default_seed
     if seed is None:
@@ -160,5 +169,10 @@ def multihost_find_mums(genomes, seed: int | None = None, mesh=None,
     tables = gather_key_tables(owned, n, seed)
     if mesh is None:
         mesh = global_mesh()
-    find = sharded_find_pairwise_mums if pairwise else sharded_find_mums
+    if pairwise:
+        find = sharded_find_pairwise_mums
+    elif tiled:
+        find = sharded_find_mums_tiled
+    else:
+        find = sharded_find_mums
     return find(tables, mesh, **kw)

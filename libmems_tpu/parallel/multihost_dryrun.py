@@ -51,6 +51,10 @@ def _worker(coordinator: str, nproc: int, pid: int) -> None:
     assert own, "every process must own at least one genome"
     got = mh.multihost_find_mums(fam, seed)
     got_pw = mh.multihost_find_mums(fam, seed, pairwise=True)
+    # position-tiled extension across processes: per-DEVICE residency
+    # O(total/n_dev), host-stepped rounds synchronized via the psum'd
+    # n_active scalar every process fetches identically
+    got_tl = mh.multihost_find_mums(fam, seed, tiled=True)
 
     # single-device local reference (process-local devices only)
     smls = [SortedMerList.create(g, seed) for g in fam]
@@ -59,8 +63,10 @@ def _worker(coordinator: str, nproc: int, pid: int) -> None:
     assert got.key_set() == ref.key_set(), (len(got), len(ref))
     assert got_pw.key_set() == ref_pw.key_set(), (len(got_pw),
                                                   len(ref_pw))
+    assert got_tl.key_set() == ref.key_set(), (len(got_tl), len(ref))
     print(f"MULTIHOST_DRYRUN_OK pid={pid} owned={own} "
-          f"mums={len(got)} pairwise={len(got_pw)}", flush=True)
+          f"mums={len(got)} pairwise={len(got_pw)} "
+          f"tiled={len(got_tl)}", flush=True)
 
 
 def run_multihost_dryrun(nproc: int = 2, local_devices: int = 4,
