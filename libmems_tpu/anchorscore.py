@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from libmems_tpu import seeds as seedlib
 from libmems_tpu.match import MatchArray, NO_MATCH
 from libmems_tpu.ops.gapped import HOXD70
 from libmems_tpu.sml import SortedMerList
@@ -110,18 +111,118 @@ def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:
     return np.ascontiguousarray(out[:sml.length])
 
 
+def _smooth_counts_np(count: np.ndarray, seed_len: int) -> np.ndarray:
+    """Numpy mirror of the trailing-mean smoothing in
+    _seed_occurrence_device (identical op order, so float32 results are
+    bit-equal to the device path)."""
+    total_len = count.shape[0]
+    if total_len > 1 and seed_len > 0:
+        padded = np.concatenate(
+            [np.ones(seed_len - 1, np.int32), count])
+        csum = np.concatenate([np.zeros(1, np.int64),
+                               np.cumsum(padded, dtype=np.int64)])
+        smoothed = ((csum[seed_len:] - csum[:-seed_len])
+                    .astype(np.float32) / seed_len)
+        countf = np.concatenate([smoothed[:-1],
+                                 count[-1:].astype(np.float32)])
+    else:
+        countf = count.astype(np.float32)
+    return np.maximum(countf, np.float32(1.0))
+
+
+def seed_occurrence_list_np(genome, seed: int) -> np.ndarray:
+    """Host numpy twin of seed_occurrence_list, computed from the genome
+    itself (no SML fetch).  Bit-equal to the device path: same run-length
+    counts, same int64 prefix-sum smoothing, same float32 division.
+
+    Exists because at small-genome scale the device path's cost is
+    dominated by per-process executable load + the float32[L] fetch over
+    the device link (PERF.md rule 12) — ~38 s of the 9x1 Mbp progressive
+    bench was this stage, vs < 2 s on the host."""
+    from libmems_tpu.ops.mers import canonical_seed_keys_np
+    from libmems_tpu.sequence import Genome
+
+    seed_len = seedlib.seed_length(seed)
+    if isinstance(genome, Genome):
+        codes = genome.codes
+        a = genome.ambig
+        ambig = a if a.any() else None
+        if genome.circular:
+            # circular wrap, as SortedMerList.create (SortedMerList
+            # .cpp:797-800)
+            codes = np.concatenate([codes, codes[: seed_len - 1]])
+            if ambig is not None:
+                ambig = np.concatenate([ambig, ambig[: seed_len - 1]])
+            length = len(codes) - (seed_len - 1)
+        else:
+            length = len(codes)
+    else:
+        codes = np.asarray(genome, dtype=np.uint8)
+        ambig = None
+        length = len(codes)
+
+    keys = canonical_seed_keys_np(codes, seed, ambig)
+    n = keys.shape[0]
+    if n == 0:
+        return np.ones(length, dtype=np.float32)
+    content = keys >> np.uint8(1)
+    order = np.argsort(content, kind="stable")
+    sc = content[order]
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    np.not_equal(sc[1:], sc[:-1], out=run_start[1:])
+    run_id = np.cumsum(run_start) - 1
+    runlen = np.bincount(run_id).astype(np.int32)
+    cnt_sorted = runlen[run_id]
+    sentinel = ~keys.dtype.type(0)
+    cnt_sorted = np.where(keys[order] == sentinel, np.int32(1),
+                          cnt_sorted)
+    count = np.ones(length, dtype=np.int32)
+    count_pos = np.empty(n, dtype=np.int32)
+    count_pos[order] = cnt_sorted
+    count[:n] = count_pos
+    return _smooth_counts_np(count, seed_len)
+
+
+# device-path threshold: below this many seed windows per genome the
+# host twin wins (the device path pays per-process executable load plus
+# a float32[L] fetch per genome over the device link; the host twin is
+# one argsort).  0 disables the host twin entirely.
+import os as _os
+
+SOL_HOST_MAX = int(_os.environ.get("LIBMEMS_TPU_SOL_HOST_MAX", 8_000_000))
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _seed_occurrence_batch(keys_b, spos_b, total_len: int, seed_len: int):
     return jax.vmap(lambda k, p: _seed_occurrence_device.__wrapped__(
         k, p, total_len, seed_len))(keys_b, spos_b)
 
 
-def seed_occurrence_lists(smls: list[SortedMerList]) -> list[np.ndarray]:
+def seed_occurrence_lists(smls: list[SortedMerList],
+                          genomes: list | None = None
+                          ) -> list[np.ndarray]:
     """Batched seed_occurrence_list over many genomes: genomes sharing
     a padded bucket shape run as ONE vmapped dispatch + fetch (the
     per-genome loop paid dispatch/fetch overhead x G on the remote
-    tunnel)."""
+    tunnel).
+
+    When `genomes` is given, genomes under SOL_HOST_MAX seed windows run
+    the bit-equal host twin instead (seed_occurrence_list_np) — at small
+    scale the device path cost is executable load + fetch, not compute."""
     out: list = [None] * len(smls)
+    if genomes is not None and SOL_HOST_MAX > 0:
+        rest_smls, rest_idx = [], []
+        for i, s in enumerate(smls):
+            if 0 < s.n_windows <= SOL_HOST_MAX:
+                out[i] = seed_occurrence_list_np(genomes[i], s.seed)
+            else:
+                rest_smls.append(s)
+                rest_idx.append(i)
+        if rest_smls:
+            for j, r in zip(rest_idx, seed_occurrence_lists(rest_smls)):
+                out[j] = r
+        return out
     groups: dict[tuple[int, int, int], list[int]] = {}
     for i, s in enumerate(smls):
         if s.n_windows == 0:

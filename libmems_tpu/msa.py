@@ -24,6 +24,8 @@ per window, AlignLCBInParallel Aligner.cpp:1293-1367, have no analog).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from libmems_tpu.ops.profile import (GAP_CODE, align_profile_batch,
@@ -148,6 +150,17 @@ def _drop_all_gap_columns(rows: np.ndarray) -> np.ndarray:
     return rows[:, keep]
 
 
+# fork-pool plumbing for the refinement gate's path-score sweep: the
+# parent stores the shared state, forked children inherit it copy-on-
+# write (same pattern as recursion.search_gaps_batch)
+_PATH_GATE_STATE: dict = {}
+
+
+def _path_gate_worker(w):
+    from libmems_tpu.ops.profile import profile_path_scores_single
+    return profile_path_scores_single(_PATH_GATE_STATE["best"][w])
+
+
 def _bipartitions(tree: TreeNode, G: int) -> list[np.ndarray]:
     """Edge-induced leaf bipartitions (one side's sequence_ids each)."""
     parts = []
@@ -202,6 +215,32 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
         cur = profile_path_score(best[w][mask], best[w][~mask])
         return cur, 1e-4 * abs(cur) + 10.0
 
+    def path_scores_all(job_key):
+        """Path scores for every (bipartition, window) job.  All gate
+        bipartitions are single-row, so each WINDOW's G scores come from
+        one vectorized profile_path_scores_single pass (the per-job
+        generic function made this the refine stage's host wall: ~G^2
+        column passes per window); windows fan out over a fork pool
+        when available (children inherit `best` by fork)."""
+        from libmems_tpu.ops.profile import profile_path_scores_single
+        from libmems_tpu.recursion import _POOL_SIZE
+        wins = sorted({w for _, w in job_key})
+        if (_POOL_SIZE > 1 and len(wins) >= 32 and hasattr(os, "fork")):
+            import multiprocessing as mp
+            _PATH_GATE_STATE["best"] = best
+            try:
+                ctx = mp.get_context("fork")
+                with ctx.Pool(processes=_POOL_SIZE) as pool:
+                    scores = pool.map(
+                        _path_gate_worker, wins,
+                        chunksize=max(len(wins) // (4 * _POOL_SIZE), 1))
+            finally:
+                _PATH_GATE_STATE.clear()
+            by_w = dict(zip(wins, scores))
+        else:
+            by_w = {w: profile_path_scores_single(best[w]) for w in wins}
+        return [by_w[w][g] for g, w in job_key]
+
     masks = []
     for g in range(G):
         m = np.zeros(G, dtype=bool)
@@ -231,26 +270,41 @@ def refine_windows(chunks: list[np.ndarray], iters: int = 1
             dp = profile_scores_batch([j[0] for j in jobs],
                                       [j[1] for j in jobs])
         flagged: list[int] = []
+        flagged_set: set[int] = set()
         with trace.stage("gate_path_score"):
+            curs = path_scores_all(job_key)
             for i, (g, w) in enumerate(job_key):
-                cur, tol = path_tol(w, masks[g])
-                if dp[i] > cur + tol and w not in flagged:
+                cur = curs[i]
+                tol = 1e-4 * abs(cur) + 10.0
+                if dp[i] > cur + tol and w not in flagged_set:
                     flagged.append(w)
+                    flagged_set.add(w)
         improved = np.zeros(len(best), dtype=bool)
         for g in range(G):
             mask = masks[g]
             cand = []
             pqs = {}
+            # re-check flagged windows against their EVOLVING state —
+            # one batched forward per bipartition, not one device round
+            # trip per window (the per-window calls were the refine
+            # stage's wall: ~60 s of tunnel latency at config 4)
+            re_ws, re_pqs = [], []
             with trace.stage("gate_path_score"):
                 for w in flagged:
                     pq = gate(w, mask)
-                    if pq is None:
-                        continue
-                    dp_w = profile_scores_batch([pq[0]], [pq[1]])[0]
-                    cur, tol = path_tol(w, mask)
-                    if dp_w > cur + tol:
-                        cand.append(w)
-                        pqs[w] = pq
+                    if pq is not None:
+                        re_ws.append(w)
+                        re_pqs.append(pq)
+            if re_ws:
+                with trace.stage("gate_forward"):
+                    dps = profile_scores_batch([p for p, _ in re_pqs],
+                                               [q for _, q in re_pqs])
+                with trace.stage("gate_path_score"):
+                    for w, pq, dp_w in zip(re_ws, re_pqs, dps):
+                        cur, tol = path_tol(w, mask)
+                        if dp_w > cur + tol:
+                            cand.append(w)
+                            pqs[w] = pq
             if not cand:
                 continue
             with trace.stage("traceback_dp"):

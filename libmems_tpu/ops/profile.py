@@ -272,7 +272,8 @@ def profile_scores_batch(p_rows: list[np.ndarray],
         key = (_bucket_cols(p_rows[k].shape[1]),
                _bucket_cols(q_rows[k].shape[1]))
         buckets.setdefault(key, []).append(k)
-    for (M, N), idxs in buckets.items():
+    def do_bucket(item):
+        (M, N), idxs = item
         nbi = len(idxs)
         nbp = _bucket_cols(nbi, 4)
         Mp = -(-M // CKPT_ROWS) * CKPT_ROWS
@@ -291,7 +292,25 @@ def profile_scores_batch(p_rows: list[np.ndarray],
         s = np.asarray(score)
         for r, k in enumerate(idxs):
             out[k] = float(s[r])
+
+    _map_buckets(do_bucket, buckets)
     return out
+
+
+def _map_buckets(fn, buckets: dict):
+    """Run per-bucket work concurrently: each bucket's first call pays
+    an executable load on the remote backend, and loads parallelize
+    across threads (PERF.md rule 22).  Buckets write disjoint result
+    indices, so threading is safe."""
+    items = list(buckets.items())
+    if len(items) <= 1:
+        for it in items:
+            fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(len(items), 4)) as ex:
+        # materialize to surface exceptions
+        list(ex.map(fn, items))
 
 
 def profile_path_score(p_rows: np.ndarray, q_rows: np.ndarray,
@@ -325,6 +344,65 @@ def profile_path_score(p_rows: np.ndarray, q_rows: np.ndarray,
     return sub + gaps
 
 
+def profile_path_scores_single(rows: np.ndarray,
+                               gap_open: int = GAP_OPEN,
+                               gap_extend: int = GAP_EXTEND
+                               ) -> np.ndarray:
+    """Path scores of ALL G single-row bipartitions of one window in one
+    vectorized pass: float64[G], entry g equal (to fp-summation order)
+    to profile_path_score(rows[g:g+1], rows[others]).
+
+    The refinement gate calls the path score for every (window, row)
+    pair; the generic function rebuilds the (G-1)-row profile per call,
+    so a G-row window paid ~G^2 column passes.  Here the column count
+    matrix and its W5 contraction are computed once and each row's score
+    falls out of count arithmetic (the per-process host budget is 2
+    cores on this machine — numpy asymptotics, not parallelism, is the
+    lever; PERF.md rule 15)."""
+    G, C = rows.shape
+    if G < 2 or C == 0:
+        return np.zeros(G, dtype=np.float64)
+    w = W5.astype(np.float64)
+    # column counts over all rows
+    cnt = np.zeros((5, C), dtype=np.int64)
+    for a in range(5):
+        cnt[a] = (rows == a).sum(axis=0)
+    nongap = (G - cnt[GAP_CODE]).astype(np.int64)     # non-gap rows/col
+    t = w @ cnt.astype(np.float64)                    # [5, C]
+    wdiag = np.diag(w)                                # [5]
+    inv = 1.0 / (G - 1)
+    col = np.arange(C)
+
+    out = np.empty(G, dtype=np.float64)
+    for g in range(G):
+        rg = rows[g]
+        p_present = rg != GAP_CODE
+        q_present = (nongap - p_present) > 0
+        keep = p_present | q_present
+        diag = p_present & q_present
+        # substitution: one-hot p row against the others' count profile
+        tg = t[rg, col] - wdiag[rg]
+        sub = float((tg[diag]).sum() * inv)
+        # affine gaps on kept columns (runs merge across dropped cols)
+        f_move = (p_present & ~q_present)[keep]
+        e_move = (~p_present & q_present)[keep]
+        opens = int((f_move & ~np.concatenate([[False],
+                                               f_move[:-1]])).sum()) \
+            + int((e_move & ~np.concatenate([[False],
+                                             e_move[:-1]])).sum())
+        # ext_p = gap_extend at f_move cols (p is one-hot non-gap there)
+        gaps = opens * gap_open + gap_extend * float(f_move.sum())
+        # ext_q = gap_extend * (1 - others_gap/(G-1)); at e_move columns
+        # p is a gap, so others_gap = total_gap - 1
+        e_cols = (~p_present & q_present)
+        if e_cols.any():
+            others_gap = cnt[GAP_CODE][e_cols] - 1
+            gaps += gap_extend * float(
+                (1.0 - others_gap.astype(np.float64) * inv).sum())
+        out[g] = sub + gaps
+    return out
+
+
 def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
                         gap_open: int = GAP_OPEN,
                         gap_extend: int = GAP_EXTEND,
@@ -356,7 +434,8 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
 
     from libmems_tpu.ops.gapped import traceback_blocks
 
-    for (M, N), idxs in buckets.items():
+    def do_bucket(item):
+        (M, N), idxs = item
         nbi = len(idxs)
         nbp = max(_bucket_cols(nbi, 4), n_dev)
         K = min(CKPT_ROWS, M)
@@ -411,6 +490,8 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
         for r, k in enumerate(idxs):
             p_gaps, q_gaps = tb[r]
             results[k] = merge_rows(p_rows[k], q_rows[k], p_gaps, q_gaps)
+
+    _map_buckets(do_bucket, buckets)
     return results
 
 

@@ -948,8 +948,17 @@ def progressive_align(genomes: list[Genome],
         raise ValueError("need at least two genomes")
     seq_lengths = [len(g) for g in genomes]
 
+    from libmems_tpu.matchfind import MER_REPEAT_LIMIT
+    from libmems_tpu.prewarm import prewarm_pairwise
+    from libmems_tpu.sml import default_seed
+    seed = cfg.seed if cfg.seed is not None else \
+        default_seed(genomes, cfg.seed_rank)
+    # overlap the seeder's executable load with the SML build (loads
+    # parallelize across threads; PERF.md rule 22)
+    prewarm_pairwise(genomes, seed, MER_REPEAT_LIMIT)
+
     with trace.stage("sml_build"):
-        smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
+        smls, seed = create_smls(genomes, seed)
 
     ckpt = _ProgressiveCheckpoint(cfg.checkpoint_dir, genomes, seed, cfg) \
         if cfg.checkpoint_dir else None
@@ -959,7 +968,7 @@ def progressive_align(genomes: list[Genome],
     if cached is not None:
         matches, scores = cached
         with trace.stage("seed_occurrence"):
-            sols = seed_occurrence_lists(smls)
+            sols = seed_occurrence_lists(smls, genomes)
     else:
         with trace.stage("pairwise_mums"):
             from libmems_tpu.aligner import resolve_mesh
@@ -971,7 +980,7 @@ def progressive_align(genomes: list[Genome],
                     sharded_find_pairwise_mums
                 matches = sharded_find_pairwise_mums(smls, mesh)
         with trace.stage("seed_occurrence"):
-            sols = seed_occurrence_lists(smls)
+            sols = seed_occurrence_lists(smls, genomes)
 
         # per-match score: its own leaf pair's uniqueness-scaled score
         scores = np.zeros(len(matches), dtype=np.float64)

@@ -397,7 +397,18 @@ def default_seed(genomes: list[Genome], seed_rank: int = 0) -> int:
 def create_smls(genomes: list[Genome], seed: int | None = None,
                 seed_rank: int = 0) -> tuple[list[SortedMerList], int]:
     """Create in-memory SMLs for all genomes
-    (MatchList::CreateMemorySMLs, libMems/MatchList.h:407-435)."""
+    (MatchList::CreateMemorySMLs, libMems/MatchList.h:407-435).
+
+    Creates run concurrently on a small thread pool: on the remote
+    backend the per-genome cost is dominated by dispatch/executable-load
+    round trips, which overlap almost perfectly across threads
+    (PERF.md rule 22)."""
     if seed is None:
         seed = default_seed(genomes, seed_rank)
-    return [SortedMerList.create(g, seed) for g in genomes], seed
+    if len(genomes) <= 1:
+        return [SortedMerList.create(g, seed) for g in genomes], seed
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(len(genomes), 8)) as ex:
+        smls = list(ex.map(lambda g: SortedMerList.create(g, seed),
+                           genomes))
+    return smls, seed

@@ -142,3 +142,49 @@ def test_seed_occurrence_lists_batched_parity():
     batched = seed_occurrence_lists(smls)
     for s, b in zip(smls, batched):
         np.testing.assert_array_equal(seed_occurrence_list(s), b)
+
+
+def test_seed_occurrence_host_twin_parity():
+    """seed_occurrence_list_np (host twin) must be bit-equal to the
+    device path, including ambiguity-masked windows and circular wrap."""
+    import numpy as np
+    from libmems_tpu import seeds
+    from libmems_tpu.anchorscore import (seed_occurrence_list,
+                                         seed_occurrence_list_np,
+                                         seed_occurrence_lists)
+    from libmems_tpu.sequence import Genome
+    from libmems_tpu.sml import SortedMerList
+
+    rng = np.random.default_rng(11)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seed = seeds.get_seed(11, 0)
+
+    # plain genome
+    codes = rng.integers(0, 4, 6000).astype(np.uint8)
+    g = Genome(name="a", ascii=lut[codes], codes=codes)
+    sml = SortedMerList.create(g, seed)
+    np.testing.assert_array_equal(seed_occurrence_list(sml),
+                                  seed_occurrence_list_np(g, seed))
+
+    # ambiguity-masked genome (N runs -> sentinel windows count 1)
+    asc = lut[codes].copy()
+    asc[1000:1040] = ord("N")
+    asc[3000] = ord("R")
+    gn = Genome(name="n", ascii=asc)
+    smln = SortedMerList.create(gn, seed)
+    np.testing.assert_array_equal(seed_occurrence_list(smln),
+                                  seed_occurrence_list_np(gn, seed))
+
+    # circular genome (seed_len-1 wrap)
+    gc = Genome(name="c", ascii=lut[codes], codes=codes, circular=True)
+    smlc = SortedMerList.create(gc, seed)
+    np.testing.assert_array_equal(seed_occurrence_list(smlc),
+                                  seed_occurrence_list_np(gc, seed))
+
+    # dispatcher: with genomes given, small genomes take the host twin
+    # and the result set matches the device-only call
+    smls = [sml, smln, smlc]
+    via_host = seed_occurrence_lists(smls, [g, gn, gc])
+    via_dev = seed_occurrence_lists(smls)
+    for a, b in zip(via_host, via_dev):
+        np.testing.assert_array_equal(a, b)

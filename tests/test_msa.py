@@ -178,3 +178,25 @@ def test_profile_dp_sharded_matches_single_device():
     assert len(sharded) == len(single)
     for a, b in zip(sharded, single):
         assert np.array_equal(a, b)
+
+
+def test_profile_path_scores_single_parity():
+    """Vectorized all-rows path score must match the generic
+    profile_path_score for every single-row bipartition (within fp
+    reassociation tolerance, far below the refine gate's threshold)."""
+    import numpy as np
+    from libmems_tpu.ops.profile import (profile_path_score,
+                                         profile_path_scores_single)
+
+    rng = np.random.default_rng(5)
+    for G, C in ((3, 40), (9, 300), (5, 1)):
+        rows = rng.integers(0, 5, (G, C)).astype(np.uint8)
+        # sprinkle gap runs so affine opens/extends are exercised
+        rows[rows == 4] = 4
+        vec = profile_path_scores_single(rows)
+        for g in range(G):
+            mask = np.zeros(G, bool)
+            mask[g] = True
+            ref = profile_path_score(rows[mask], rows[~mask])
+            assert abs(vec[g] - ref) <= 1e-6 * max(abs(ref), 1.0), \
+                (G, C, g, vec[g], ref)
