@@ -33,9 +33,9 @@ from libmems_tpu.ops.gapped import HOXD70
 from libmems_tpu.sml import SortedMerList
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
-                            seed_len: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _seed_occurrence_device(sorted_keys, sorted_positions, real_len,
+                            total_len: int, seed_len: int):
     """Device seed-occurrence construction: run lengths over the sorted
     keys, reorder to position order with one payload sort (scatters are
     ~13x a sort on TPU, PERF.md), then the trailing-mean smoothing as a
@@ -70,6 +70,17 @@ def _seed_occurrence_device(sorted_keys, sorted_positions, total_len: int,
                     .astype(jnp.float32) / seed_len)
         countf = jnp.concatenate([smoothed[:-1],
                                   count[-1:].astype(jnp.float32)])
+        # the genome's true final position keeps its RAW count —
+        # SeedOccurrenceList::smoothFrequencies never overwrites
+        # count[Length-1] (SeedOccurrenceList.h:76-92); with bucket
+        # padding the `count[-1:]` special case above lands on a pad
+        # position, so restore the raw count at real_len-1 explicitly
+        # (real_len is traced: genomes of different true lengths share
+        # one executable)
+        last = jnp.clip(real_len - 1, 0, total_len - 1)
+        raw_last = jax.lax.dynamic_slice(count, (last,),
+                                         (1,)).astype(jnp.float32)
+        countf = jax.lax.dynamic_update_slice(countf, raw_last, (last,))
     else:
         countf = count.astype(jnp.float32)
     return jnp.maximum(countf, 1.0)
@@ -107,7 +118,7 @@ def seed_occurrence_list(sml: SortedMerList) -> np.ndarray:
         return np.ones(sml.length, dtype=np.float32)
     keys, spos, lpad = _padded_occurrence_inputs(sml)
     out = np.asarray(_seed_occurrence_device(
-        keys, spos, lpad, sml.seed_length))
+        keys, spos, jnp.int32(sml.length), lpad, sml.seed_length))
     return np.ascontiguousarray(out[:sml.length])
 
 
@@ -193,10 +204,11 @@ import os as _os
 SOL_HOST_MAX = int(_os.environ.get("LIBMEMS_TPU_SOL_HOST_MAX", 8_000_000))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _seed_occurrence_batch(keys_b, spos_b, total_len: int, seed_len: int):
-    return jax.vmap(lambda k, p: _seed_occurrence_device.__wrapped__(
-        k, p, total_len, seed_len))(keys_b, spos_b)
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _seed_occurrence_batch(keys_b, spos_b, real_len_b, total_len: int,
+                           seed_len: int):
+    return jax.vmap(lambda k, p, rl: _seed_occurrence_device.__wrapped__(
+        k, p, rl, total_len, seed_len))(keys_b, spos_b, real_len_b)
 
 
 def seed_occurrence_lists(smls: list[SortedMerList],
@@ -235,13 +247,15 @@ def seed_occurrence_lists(smls: list[SortedMerList],
         if len(members) == 1:
             i, keys, spos = members[0]
             res = np.asarray(_seed_occurrence_device(
-                keys, spos, lpad, seed_len))
+                keys, spos, jnp.int32(smls[i].length), lpad, seed_len))
             out[i] = np.ascontiguousarray(res[:smls[i].length])
             continue
         keys_b = jnp.stack([m[1] for m in members])
         spos_b = jnp.stack([m[2] for m in members])
-        res = np.asarray(_seed_occurrence_batch(keys_b, spos_b, lpad,
-                                                seed_len))
+        lens_b = jnp.asarray(
+            np.array([smls[m[0]].length for m in members], np.int32))
+        res = np.asarray(_seed_occurrence_batch(keys_b, spos_b, lens_b,
+                                                lpad, seed_len))
         for r, (i, _, _) in enumerate(members):
             out[i] = np.ascontiguousarray(res[r, :smls[i].length])
     return out

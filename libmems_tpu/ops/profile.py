@@ -301,9 +301,16 @@ def _map_buckets(fn, buckets: dict):
     """Run per-bucket work concurrently: each bucket's first call pays
     an executable load on the remote backend, and loads parallelize
     across threads (PERF.md rule 22).  Buckets write disjoint result
-    indices, so threading is safe."""
+    indices, so threading is safe.
+
+    Under multi-host (jax.distributed) execution the buckets run
+    SERIALLY: the bucket kernels are shard_map programs over a mesh
+    spanning every process, and per-process thread scheduling could
+    enqueue those cross-host SPMD programs in different orders on
+    different processes — a deadlock.  Single-controller enqueue order
+    is deterministic either way."""
     items = list(buckets.items())
-    if len(items) <= 1:
+    if len(items) <= 1 or jax.process_count() > 1:
         for it in items:
             fn(it)
         return

@@ -45,12 +45,22 @@ def spawn(fn, name: str) -> threading.Thread | None:
     return t
 
 
-def _warm_sml_create(bucket_lens: set[int], seed: int):
+def _warm_sml_create(bucket_lens: set[int], seed: int,
+                     any_ambig: bool = False):
     from libmems_tpu.sml import SortedMerList
 
     def run():
         for L in sorted(bucket_lens):
             SortedMerList.create(np.zeros(L, dtype=np.uint8), seed)
+            if any_ambig:
+                # genomes containing an ambiguous base trace a DIFFERENT
+                # executable (canonical_seed_keys takes an extra ambig
+                # operand), so warm that variant too — otherwise real
+                # FASTA inputs with Ns still pay the serialized load
+                a = np.zeros(L, dtype=bool)
+                a[0] = True
+                SortedMerList.create(np.zeros(L, dtype=np.uint8), seed,
+                                     ambig=a)
 
     return run
 
@@ -152,11 +162,13 @@ def prewarm_pair_align(genomes, seed: int,
     seed_len = seedlib.seed_length(seed)
     buckets: set[int] = set()
     n_windows: list[int] = []
+    any_ambig = False
     for g in genomes:
         L = len(g.codes) + (seed_len - 1 if g.circular else 0)
         buckets.add(_bucket_len(L))
         n_windows.append(max(L - seed_len + 1, 0))
-    threads = [spawn(_warm_sml_create(buckets, seed), "sml"),
+        any_ambig = any_ambig or bool(g.ambig.any())
+    threads = [spawn(_warm_sml_create(buckets, seed, any_ambig), "sml"),
                spawn(_warm_pair_mum_finder(n_windows, seed,
                                            repeat_limit), "pairmum")]
     return [t for t in threads if t is not None]
@@ -176,11 +188,13 @@ def prewarm_pairwise(genomes, seed: int,
     seed_len = seedlib.seed_length(seed)
     buckets: set[int] = set()
     n_windows: list[int] = []
+    any_ambig = False
     for g in genomes:
         L = len(g.codes) + (seed_len - 1 if g.circular else 0)
         buckets.add(_bucket_len(L))
         n_windows.append(max(L - seed_len + 1, 0))
-    threads = [spawn(_warm_sml_create(buckets, seed), "sml"),
+        any_ambig = any_ambig or bool(g.ambig.any())
+    threads = [spawn(_warm_sml_create(buckets, seed, any_ambig), "sml"),
                spawn(_warm_pairwise_seeder(n_windows, seed,
                                            repeat_limit), "seeder")]
     return [t for t in threads if t is not None]

@@ -181,6 +181,27 @@ def test_seed_occurrence_host_twin_parity():
     np.testing.assert_array_equal(seed_occurrence_list(smlc),
                                   seed_occurrence_list_np(gc, seed))
 
+    # genome whose FINAL seed window repeats an interior window: the
+    # reference leaves count[Length-1] raw (smoothFrequencies never
+    # overwrites it, SeedOccurrenceList.h:76-92); with bucket padding
+    # the device path's special case lands on a pad position, so the
+    # restore at real_len-1 is what keeps the two paths bit-equal here
+    seed_len = seeds.seed_length(seed)
+    codes_r = codes.copy()
+    codes_r[-seed_len:] = codes_r[100:100 + seed_len]
+    gr = Genome(name="r", ascii=lut[codes_r], codes=codes_r)
+    smlr = SortedMerList.create(gr, seed)
+    sol_dev = seed_occurrence_list(smlr)
+    sol_np = seed_occurrence_list_np(gr, seed)
+    np.testing.assert_array_equal(sol_dev, sol_np)
+    # raw tail count is 1; the (wrong) smoothed value would average the
+    # repeating final windows into something > 1
+    assert sol_np[-1] == 1.0
+    grc = Genome(name="rc", ascii=lut[codes_r], codes=codes_r,
+                 circular=True)
+    sol_c = seed_occurrence_list(SortedMerList.create(grc, seed))
+    np.testing.assert_array_equal(sol_c, seed_occurrence_list_np(grc, seed))
+
     # dispatcher: with genomes given, small genomes take the host twin
     # and the result set matches the device-only call
     smls = [sml, smln, smlc]

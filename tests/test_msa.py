@@ -191,8 +191,15 @@ def test_profile_path_scores_single_parity():
     rng = np.random.default_rng(5)
     for G, C in ((3, 40), (9, 300), (5, 1)):
         rows = rng.integers(0, 5, (G, C)).astype(np.uint8)
-        # sprinkle gap runs so affine opens/extends are exercised
-        rows[rows == 4] = 4
+        # inject multi-column gap RUNS (extend accounting + run merging
+        # across dropped columns), including an all-gap column
+        for r in range(G):
+            for _ in range(3):
+                a = int(rng.integers(0, C))
+                k = int(rng.integers(1, min(8, C - a) + 1))
+                rows[r, a:a + k] = 4
+        if C >= 2:
+            rows[:, C // 2] = 4       # whole column all-gap
         vec = profile_path_scores_single(rows)
         for g in range(G):
             mask = np.zeros(G, bool)
