@@ -43,7 +43,8 @@ from libmems_tpu.distance import distance_matrix, identity_matrix, \
     single_copy_distance, breakpoint_distance_matrix
 from libmems_tpu.interval import marble
 from libmems_tpu.msa import align_codes, refine
-from libmems_tpu.progressive import ProgressiveConfig, progressive_align
+from libmems_tpu.progressive import ProgressiveConfig, align_profiles, \
+    progressive_align
 from libmems_tpu.backbone import apply_backbone, detect_backbone, \
     write_backbone_seq_coordinates, \
     write_backbone_columns, compute_gc
@@ -82,6 +83,7 @@ __all__ = [
     "refine",
     "ProgressiveConfig",
     "progressive_align",
+    "align_profiles",
     "detect_backbone",
     "apply_backbone",
     "write_backbone_seq_coordinates",

@@ -207,6 +207,23 @@ def resolve_mesh(mesh):
     return make_mesh(int(mesh))
 
 
+def _build_index_maybe_multihost(genomes, cfg):
+    """SML construction, host-sharded under multi-process execution:
+    with cfg.mesh set and jax.process_count() > 1 each process builds
+    only its OWNED genomes' indexes and the position-order key tables
+    are exchanged once (parallel.multihost; dmSML bin ownership promoted
+    to processes).  Single-process: the ordinary threaded build."""
+    import jax
+    from libmems_tpu.sml import default_seed
+    if resolve_mesh(cfg.mesh) is not None and jax.process_count() > 1:
+        from libmems_tpu.parallel import multihost as mh
+        seed = cfg.seed if cfg.seed is not None else \
+            default_seed(genomes, cfg.seed_rank)
+        owned = mh.build_owned_smls(genomes, seed)
+        return mh.gather_key_tables(owned, len(genomes), seed), seed
+    return create_smls(genomes, cfg.seed, cfg.seed_rank)
+
+
 def _find_mums_maybe_sharded(smls, cfg: AlignerConfig) -> MatchArray:
     """Seed discovery through the single-device fused pipeline or, when
     cfg.mesh is set, the seed-prefix-sharded one — both produce the same
@@ -216,12 +233,9 @@ def _find_mums_maybe_sharded(smls, cfg: AlignerConfig) -> MatchArray:
     mesh = resolve_mesh(cfg.mesh)
     if mesh is None:
         return find_mums(smls, repeat_tolerance=cfg.repeat_tolerance)
-    if cfg.repeat_tolerance != 0:
-        raise ValueError(
-            "the sharded MUM pipeline implements repeat_tolerance=0 "
-            "(unique MUMs) only; unset mesh for tolerant search")
     from libmems_tpu.parallel.shard import sharded_find_mums
-    return sharded_find_mums(smls, mesh)
+    return sharded_find_mums(smls, mesh,
+                             repeat_tolerance=cfg.repeat_tolerance)
 
 
 def align(genomes: list[Genome], config: AlignerConfig | None = None
@@ -244,7 +258,7 @@ def align(genomes: list[Genome], config: AlignerConfig | None = None
         prewarm_pair_align(genomes, pre_seed, MER_REPEAT_LIMIT)
 
     with trace.stage("sml_build"):
-        smls, seed = create_smls(genomes, cfg.seed, cfg.seed_rank)
+        smls, seed = _build_index_maybe_multihost(genomes, cfg)
     with trace.stage("mum_find"):
         mums = _find_mums_maybe_sharded(smls, cfg)
 

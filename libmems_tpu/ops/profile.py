@@ -165,14 +165,20 @@ _dp_mesh_cache: list = [None]
 
 
 def dp_mesh():
-    """1-D mesh over all local devices for batch-sharding the window DP
-    (VERDICT r2 item 3d: the gapped-DP batch is embarrassingly parallel
-    — on a multi-chip mesh every device aligns its slice of the window
-    batch; one chip behaves exactly as before).  None on single-device
-    backends."""
+    """1-D mesh over this process's LOCAL devices for batch-sharding the
+    window DP (VERDICT r2 item 3d: the gapped-DP batch is embarrassingly
+    parallel — on a multi-chip mesh every device aligns its slice of the
+    window batch; one chip behaves exactly as before).  None on
+    single-device backends.
+
+    Local, not global, devices: under multi-host execution the DP is a
+    redundant-deterministic per-process stage (the multihost e2e
+    contract — only seeding spans the global mesh); a process-spanning
+    DP mesh would also require cross-process enqueue-order coordination
+    for every bucket."""
     if _dp_mesh_cache[0] is None:
         import jax as _jax
-        devs = _jax.devices()
+        devs = _jax.local_devices()
         if len(devs) < 2:
             _dp_mesh_cache[0] = False
         else:
@@ -237,6 +243,249 @@ def _shard_full_tb(mesh, gap_open, gap_extend, T):
         out_specs=(P(None, _DP_AXIS),) * 3)
 
 
+# --------------------------------------------------------------------------
+# banded DP (VERDICT r5 item 1: the inter-anchor windows sit between
+# chained anchors, so their optimal paths hug the corner-to-corner
+# diagonal; a block-banded scan cuts DP cells ~4-7x at the big column
+# buckets).  EXACTNESS IS PRESERVED by a per-window certificate:
+#
+#   any alignment path through a cell more than H_W diagonals off the
+#   straight (0,0)->(p_len,q_len) line contains at least
+#   2*H_W - 3*|q_len-p_len| gap moves (triangle inequality on
+#   insertions/deletions), each costing at least gap_extend*occ_min,
+#   plus one gap_open; its score is therefore bounded by
+#     SumCap + gap_open + gap_extend*occ_min*(2*H_W - 3*|dlen|)
+#   where SumCap = sum over q columns of the best possible column score
+#   (max over letters of W5 @ q_j, floored at 0 — a gap row scores 0).
+#
+# If the banded optimum strictly beats that bound, every optimal path
+# stays strictly inside the band, all DP values on any optimal
+# traceback are bit-equal to the full-width DP (same ops on the same
+# floats), and the banded traceback is byte-identical to the full one.
+# Windows that fail the certificate re-run at full width — no
+# approximation anywhere, just a fast path that usually certifies.
+#
+# Reference frame being matched: GappedAligner.h:25 window cap and
+# ProgressiveAligner.cpp:57-60 refine windows — near-diagonal by
+# construction.
+# --------------------------------------------------------------------------
+
+BAND_K = CKPT_ROWS      # rows per band block
+BAND_SMAX = 2           # max q_len/p_len slope eligible for banding
+BAND_MIN_N = 1024       # smallest padded column bucket worth banding
+BAND_MARGIN = 64.0      # certificate strictness slack (f32 safety)
+
+
+def _band_half(N: int) -> int:
+    """Nominal half band width for an N-column bucket: wide enough that
+    ~2%-divergent windows certify (slack ~= divergence * N * 210 must be
+    under |gap_extend| * 2*H_W)."""
+    return max(127, N // 16 - 1)
+
+
+def _band_wb(N: int) -> int:
+    """Local band storage width: per 128-row block the band must cover
+    K*slope columns of diagonal drift plus the nominal band on both
+    sides plus one guard column below (kept at -inf so certified
+    tracebacks never read a degenerate boundary pointer)."""
+    return BAND_K * BAND_SMAX + 2 * _band_half(N) + 2
+
+
+def _banded_block_scan(p, q, p_len, q_len, gap_open: int,
+                       gap_extend: int, H_W: int, emit_ptr: bool):
+    """Shared banded forward machinery.  Local column w of a block
+    starting at row r0 maps to global column j = lo + w where
+    lo = clip((r0*q_len)//p_len - H_W - 1, 0, N - WB): identical
+    arithmetic in the traceback walk keeps addressing consistent.
+    Returns (score, outs, certificate) where outs is the per-row scan
+    emission ([nb, K, B] h_at rows, or ([nb,K,B,WB+1] ptrs, h_at))."""
+    B, Mp, _ = p.shape
+    N = q.shape[1]
+    WB = BAND_K * BAND_SMAX + 2 * H_W + 2
+    nb = Mp // BAND_K
+    qw, ext_q, ext_cum, h0, f0 = _profile_q_setup(q, gap_open, gap_extend)
+    ext_p = gap_extend * (1.0 - p[:, :, GAP_CODE])
+    lo_cap = max(N - WB, 0)
+    pl = jnp.maximum(p_len, 1).astype(jnp.int32)
+    ql = q_len.astype(jnp.int32)
+
+    def lo_of(bi):
+        return jnp.clip((bi * BAND_K * ql) // pl - (H_W + 1), 0, lo_cap)
+
+    w_idx = jnp.arange(WB + 1, dtype=jnp.int32)
+    h0_loc = h0[:, :WB + 1]            # block 0: lo == 0 always
+    f0_loc = (h0_loc - h0_loc) + NEG_BIG
+
+    def block(carry, xs):
+        h_prev, f_prev, lo_prev = carry
+        p_blk, extp_blk, bi = xs       # [K,B,5], [K,B], scalar
+        lo = lo_of(bi)
+        src = w_idx[None, :] + (lo - lo_prev)[:, None]
+        ok = src <= WB
+        srcc = jnp.minimum(src, WB)
+        h_sh = jnp.where(ok, jnp.take_along_axis(h_prev, srcc, axis=1),
+                         NEG_BIG)
+        f_sh = jnp.where(ok, jnp.take_along_axis(f_prev, srcc, axis=1),
+                         NEG_BIG)
+        # q-side slices of this block's band (s[w] consumes q column
+        # j-1 = lo+w-1 for w=1..WB -> columns lo..lo+WB-1)
+        cols = lo[:, None] + w_idx[None, :WB]
+        colc = jnp.minimum(cols, N - 1)
+        qw_loc = jnp.take_along_axis(qw, colc[:, :, None], axis=1)
+        extq_loc = jnp.take_along_axis(ext_q, colc, axis=1)
+        cum_loc = jnp.take_along_axis(
+            ext_cum, jnp.minimum(lo[:, None] + w_idx[None, :], N), axis=1)
+        qlen_loc = jnp.clip(ql - lo, 0, WB)
+        row = _profile_row_fn(qw_loc, extq_loc, cum_loc, qlen_loc,
+                              gap_open, emit_ptr)
+        if emit_ptr:
+            def row2(c, x):
+                c2, ptr = row(c, x)
+                h_at = jnp.take_along_axis(
+                    c2[0], qlen_loc[:, None], axis=1)[:, 0]
+                return c2, (ptr, h_at)
+            (h2, f2), out = jax.lax.scan(row2, (h_sh, f_sh),
+                                         (p_blk, extp_blk))
+        else:
+            (h2, f2), out = jax.lax.scan(row, (h_sh, f_sh),
+                                         (p_blk, extp_blk))
+        return (h2, f2, lo), out
+
+    xs = (jnp.transpose(p, (1, 0, 2)).reshape(nb, BAND_K, B, 5),
+          ext_p.T.reshape(nb, BAND_K, B),
+          jnp.arange(nb, dtype=jnp.int32))
+    # derive the initial lo from the (batch-varying) lengths so the
+    # scan carry keeps its varying manual axes under shard_map (same
+    # trick as _profile_q_setup's f0); lo_of(0) == 0 always
+    lo0 = lo_of(jnp.int32(0))
+    _, outs = jax.lax.scan(block, (h0_loc, f0_loc, lo0), xs)
+
+    h_at = (outs[1] if emit_ptr else outs).reshape(Mp, B)
+    h0_at = jnp.take_along_axis(h0, ql[:, None], axis=1)[:, 0]
+    h_all = jnp.concatenate([h0_at[None], h_at], axis=0)
+    score = jnp.take_along_axis(h_all, p_len[None, :].astype(jnp.int32),
+                                axis=0)[0]
+
+    # optimality certificate (see block comment above)
+    m_rows = jnp.arange(Mp)[None, :] < p_len[:, None]
+    occ_p = jnp.where(m_rows, 1.0 - p[:, :, GAP_CODE], 1.0).min(axis=1)
+    n_cols = jnp.arange(N)[None, :] < ql[:, None]
+    occ_q = jnp.where(n_cols, 1.0 - q[:, :, GAP_CODE], 1.0).min(axis=1)
+    occ_min = jnp.minimum(occ_p, occ_q)
+    cap = jnp.maximum(qw.max(axis=2), 0.0)
+    sumcap = jnp.where(n_cols, cap, 0.0).sum(axis=1)
+    g_lb = jnp.maximum(2 * H_W - 3 * jnp.abs(ql - p_len), 0) \
+        .astype(jnp.float32)
+    rhs = sumcap + gap_open + gap_extend * occ_min * g_lb
+    cert = score > rhs + BAND_MARGIN
+    return score, outs, cert
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _banded_forward_scores(p, q, p_len, q_len, gap_open: int,
+                           gap_extend: int, H_W: int):
+    """Banded forward-only DP: (score float32[B], certified bool[B]).
+    Scores of uncertified elements are lower bounds only — callers must
+    re-run those at full width."""
+    score, _, cert = _banded_block_scan(p, q, p_len, q_len, gap_open,
+                                        gap_extend, H_W, False)
+    return score, cert
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _banded_fwd_tb(p, q, p_len, q_len, gap_open: int, gap_extend: int,
+                   H_W: int, T: int):
+    """Banded forward + banded pointer tensor + on-device traceback
+    walk.  Returns (score, cert, packed bit rows a la _device_tb_scan).
+    Tracebacks of certified elements are byte-identical to the
+    full-width DP's; uncertified ones are garbage and must re-run."""
+    score, outs, cert = _banded_block_scan(p, q, p_len, q_len, gap_open,
+                                           gap_extend, H_W, True)
+    ptrs = outs[0]                       # [nb, K, B, WB+1]
+    nbk, K, B, W1 = ptrs.shape
+    ptrs = jnp.transpose(ptrs.reshape(nbk * K, B, W1), (1, 0, 2))
+    N = q.shape[1]
+    WB = W1 - 1
+    M = nbk * K
+    flat = ptrs.reshape(B, M * W1)
+    lo_cap = max(N - WB, 0)
+    pl = jnp.maximum(p_len, 1).astype(jnp.int32)
+    ql = q_len.astype(jnp.int32)
+    i0 = p_len.astype(jnp.int32)
+    j0 = ql
+    st0 = jnp.zeros_like(i0)
+    from libmems_tpu.ops.gapped import E_EXT_BIT, F_EXT_BIT
+
+    def step(carry, _):
+        i, j, st = carry
+        active = (i > 0) | (j > 0)
+        c0 = active & (i == 0)
+        c1 = active & (i > 0) & (j == 0)
+        c2 = active & (i > 0) & (j > 0)
+        bi = jnp.maximum(i - 1, 0) // BAND_K
+        lo = jnp.clip((bi * BAND_K * ql) // pl - (H_W + 1), 0, lo_cap)
+        w = jnp.clip(j - lo, 0, WB)
+        lin = jnp.clip((i - 1) * W1 + w, 0, M * W1 - 1)
+        byte = jnp.take_along_axis(flat, lin[:, None], axis=1)[:, 0]
+        was_h = c2 & (st == 0)
+        was_e = c2 & (st == 1)
+        was_f = c2 & (st == 2)
+        newst = (byte & 3).astype(st.dtype)
+        dm = was_h & (newst == 0)
+        a_gap = c0 | was_e
+        b_gap = c1 | was_f
+        emitted = c0 | c1 | dm | was_e | was_f
+        i = i - (c1 | dm | was_f).astype(i.dtype)
+        j = j - (c0 | dm | was_e).astype(j.dtype)
+        st = jnp.where(was_h, newst,
+                       jnp.where(was_e,
+                                 jnp.where((byte & E_EXT_BIT) != 0, 1, 0),
+                                 jnp.where(was_f,
+                                           jnp.where((byte & F_EXT_BIT)
+                                                     != 0, 2, 0), st)))
+        return (i, j, st), (emitted, a_gap, b_gap)
+
+    _, (steps, agaps, bgaps) = jax.lax.scan(
+        step, (i0, j0, st0), None, length=T)
+    pack = lambda x: jnp.packbits(x.astype(jnp.uint8), axis=0)
+    return score, cert, (pack(steps), pack(agaps), pack(bgaps))
+
+
+def _shard_banded_fwd_tb(mesh, gap_open, gap_extend, H_W, T):
+    from jax.sharding import PartitionSpec as P
+
+    def f(p, q, p_len, q_len):
+        return _banded_fwd_tb(p, q, p_len, q_len, gap_open, gap_extend,
+                              H_W, T)
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(_DP_AXIS),) * 4,
+        out_specs=(P(_DP_AXIS), P(_DP_AXIS), (P(None, _DP_AXIS),) * 3))
+
+
+def _shard_banded_scores(mesh, gap_open, gap_extend, H_W):
+    from jax.sharding import PartitionSpec as P
+
+    def f(p, q, p_len, q_len):
+        return _banded_forward_scores(p, q, p_len, q_len, gap_open,
+                                      gap_extend, H_W)
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(_DP_AXIS),) * 4,
+        out_specs=(P(_DP_AXIS), P(_DP_AXIS)))
+
+
+def _band_eligible(p_len: np.ndarray, q_len: np.ndarray,
+                   M: int, N: int) -> np.ndarray:
+    """Host-side banding eligibility per batch element (the kernel runs
+    on the whole padded batch; ineligible rows are just never trusted)."""
+    if N < BAND_MIN_N or M < 2 * BAND_K or _band_wb(N) + 1 >= N:
+        return np.zeros(len(p_len), dtype=bool)
+    pl = p_len.astype(np.int64)
+    ql = q_len.astype(np.int64)
+    return (pl > 0) & (ql > 0) & (ql <= BAND_SMAX * pl)
+
+
 def _bucket_cols(n, minimum=16):
     """Padded column bucket: 4x-spaced below 4096 (round-trips dominate
     padding waste for small windows), 1.5x-spaced above (at refine-window
@@ -272,25 +521,48 @@ def profile_scores_batch(p_rows: list[np.ndarray],
         key = (_bucket_cols(p_rows[k].shape[1]),
                _bucket_cols(q_rows[k].shape[1]))
         buckets.setdefault(key, []).append(k)
+
     def do_bucket(item):
         (M, N), idxs = item
-        nbi = len(idxs)
-        nbp = _bucket_cols(nbi, 4)
         Mp = -(-M // CKPT_ROWS) * CKPT_ROWS
-        p = np.zeros((nbp, Mp, 5), dtype=np.float32)
-        q = np.zeros((nbp, N, 5), dtype=np.float32)
-        p_len = np.zeros(nbp, dtype=np.int32)
-        q_len = np.zeros(nbp, dtype=np.int32)
-        for r, k in enumerate(idxs):
-            cp, cq = p_rows[k].shape[1], q_rows[k].shape[1]
-            p[r, :cp] = rows_to_profile(p_rows[k])
-            q[r, :cq] = rows_to_profile(q_rows[k])
-            p_len[r], q_len[r] = cp, cq
+
+        def build(sub):
+            nbp = _bucket_cols(len(sub), 4)
+            p = np.zeros((nbp, Mp, 5), dtype=np.float32)
+            q = np.zeros((nbp, N, 5), dtype=np.float32)
+            p_len = np.zeros(nbp, dtype=np.int32)
+            q_len = np.zeros(nbp, dtype=np.int32)
+            for r, k in enumerate(sub):
+                cp, cq = p_rows[k].shape[1], q_rows[k].shape[1]
+                p[r, :cp] = rows_to_profile(p_rows[k])
+                q[r, :cq] = rows_to_profile(q_rows[k])
+                p_len[r], q_len[r] = cp, cq
+            return p, q, p_len, q_len
+
+        todo = list(idxs)
+        p, q, p_len, q_len = build(todo)
+        if _band_eligible(p_len[:len(todo)], q_len[:len(todo)],
+                          Mp, N).any():
+            score_b, cert = _banded_forward_scores(
+                jnp.asarray(p), jnp.asarray(q), jnp.asarray(p_len),
+                jnp.asarray(q_len), gap_open, gap_extend, _band_half(N))
+            okm = _band_eligible(p_len, q_len, Mp, N) & np.asarray(cert)
+            sb = np.asarray(score_b)
+            remaining = []
+            for r, k in enumerate(todo):
+                if okm[r]:
+                    out[k] = float(sb[r])
+                else:
+                    remaining.append(k)
+            if not remaining:
+                return
+            todo = remaining
+            p, q, p_len, q_len = build(todo)
         score, _, _ = profile_forward_ckpt(
             jnp.asarray(p), jnp.asarray(q), jnp.asarray(p_len),
             jnp.asarray(q_len), gap_open, gap_extend, Mp)
         s = np.asarray(score)
-        for r, k in enumerate(idxs):
+        for r, k in enumerate(todo):
             out[k] = float(s[r])
 
     _map_buckets(do_bucket, buckets)
@@ -443,19 +715,56 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
 
     def do_bucket(item):
         (M, N), idxs = item
-        nbi = len(idxs)
-        nbp = max(_bucket_cols(nbi, 4), n_dev)
         K = min(CKPT_ROWS, M)
         Mp = -(-M // K) * K
-        p = np.zeros((nbp, Mp, 5), dtype=np.float32)
-        q = np.zeros((nbp, N, 5), dtype=np.float32)
-        p_len = np.zeros(nbp, dtype=np.int32)
-        q_len = np.zeros(nbp, dtype=np.int32)
-        for r, k in enumerate(idxs):
-            cp, cq = p_rows[k].shape[1], q_rows[k].shape[1]
-            p[r, :cp] = rows_to_profile(p_rows[k])
-            q[r, :cq] = rows_to_profile(q_rows[k])
-            p_len[r], q_len[r] = cp, cq
+
+        def build(sub):
+            nbp = max(_bucket_cols(len(sub), 4), n_dev)
+            p = np.zeros((nbp, Mp, 5), dtype=np.float32)
+            q = np.zeros((nbp, N, 5), dtype=np.float32)
+            p_len = np.zeros(nbp, dtype=np.int32)
+            q_len = np.zeros(nbp, dtype=np.int32)
+            for r, k in enumerate(sub):
+                cp, cq = p_rows[k].shape[1], q_rows[k].shape[1]
+                p[r, :cp] = rows_to_profile(p_rows[k])
+                q[r, :cq] = rows_to_profile(q_rows[k])
+                p_len[r], q_len[r] = cp, cq
+            return p, q, p_len, q_len, nbp
+
+        from libmems_tpu.ops.gapped import (DEVICE_TB_BUDGET,
+                                            _device_tb_T, tb_unpack)
+        idxs = list(idxs)
+        p, q, p_len, q_len, nbp = build(idxs)
+        band_budget = nbp * Mp * (_band_wb(N) + 1) <= DEVICE_TB_BUDGET
+        if band_budget and _band_eligible(p_len[:len(idxs)],
+                                          q_len[:len(idxs)], Mp, N).any():
+            # banded fast path: certified windows get byte-identical
+            # tracebacks at a fraction of the DP cells; the rest re-run
+            # at full width below
+            H_W = _band_half(N)
+            T = _device_tb_T(Mp, N)
+            args = (jnp.asarray(p), jnp.asarray(q), jnp.asarray(p_len),
+                    jnp.asarray(q_len))
+            if mesh is not None:
+                _, cert, packed = _shard_banded_fwd_tb(
+                    mesh, gap_open, gap_extend, H_W, T)(*args)
+            else:
+                _, cert, packed = _banded_fwd_tb(
+                    *args, gap_open, gap_extend, H_W, T)
+            okm = _band_eligible(p_len, q_len, Mp, N) & np.asarray(cert)
+            tb_b = tb_unpack(packed, nbp, T)
+            remaining = []
+            for r, k in enumerate(idxs):
+                if okm[r]:
+                    p_gaps, q_gaps = tb_b[r]
+                    results[k] = merge_rows(p_rows[k], q_rows[k],
+                                            p_gaps, q_gaps)
+                else:
+                    remaining.append(k)
+            if not remaining:
+                return
+            idxs = remaining
+            p, q, p_len, q_len, nbp = build(idxs)
         pj = jnp.asarray(p)
         qj = jnp.asarray(q)
         qlj = jnp.asarray(q_len)

@@ -140,6 +140,71 @@ def gather_key_tables(owned_smls: dict[int, "object"], n_genomes: int,
             for g in range(n_genomes)]
 
 
+def assert_processes_agree(tag: str, data: bytes) -> None:
+    """Cross-process divergence tripwire for the redundant-deterministic
+    host stages of the multi-host e2e contract: allgather a sha256 of
+    `data` and fail loudly if any process computed something different
+    (a silent divergence would corrupt every later collective)."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    import hashlib
+
+    from jax.experimental import multihost_utils
+    h = np.frombuffer(hashlib.sha256(data).digest(),
+                      np.uint8).astype(np.int32)
+    all_h = np.asarray(multihost_utils.process_allgather(h))
+    if not (all_h == all_h[0]).all():
+        raise RuntimeError(
+            f"multi-host divergence at {tag!r}: processes computed "
+            f"different results ({[bytes(r.astype(np.uint8)).hex()[:16] for r in all_h]})")
+
+
+def _xmfa_bytes(ivs) -> bytes:
+    import io
+
+    from libmems_tpu.interval import write_xmfa
+    buf = io.StringIO()
+    write_xmfa(buf, ivs)
+    return buf.getvalue().encode()
+
+
+def multihost_align(genomes, config=None):
+    """END-TO-END flat alignment under jax.process_count() >= 1
+    (BASELINE config 5's driver; Aligner.cpp:2193 promoted across
+    processes).  Contract: the host-sharded index build + seed-prefix-
+    sharded seeding span the global mesh; every later stage (overlap
+    trim, LCB/GBE, gapped DP, XMFA) runs redundantly and
+    deterministically in every process on identical gathered inputs.
+    The XMFA bytes are hash-compared across processes before returning
+    (assert_processes_agree) so a divergence can never go unnoticed.
+
+    Returns (IntervalList, MatchArray) in every process."""
+    from libmems_tpu.aligner import AlignerConfig, align
+    cfg = config or AlignerConfig()
+    if cfg.mesh is None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, mesh=global_mesh())
+    ivs, mums = align(genomes, cfg)
+    assert_processes_agree("align/xmfa", _xmfa_bytes(ivs))
+    return ivs, mums
+
+
+def multihost_progressive_align(genomes, config=None):
+    """END-TO-END progressive alignment across processes (PA.cpp:3779
+    promoted; same contract as multihost_align).  Returns
+    (IntervalList, guide tree) in every process, XMFA hash-verified."""
+    from libmems_tpu.progressive import (ProgressiveConfig,
+                                         progressive_align)
+    cfg = config or ProgressiveConfig()
+    if cfg.mesh is None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, mesh=global_mesh())
+    ivs, tree = progressive_align(genomes, cfg)
+    assert_processes_agree("progressive/xmfa", _xmfa_bytes(ivs))
+    return ivs, tree
+
+
 def multihost_find_mums(genomes, seed: int | None = None, mesh=None,
                         pairwise: bool = False, tiled: bool = False,
                         **kw):

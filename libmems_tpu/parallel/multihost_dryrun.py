@@ -64,9 +64,37 @@ def _worker(coordinator: str, nproc: int, pid: int) -> None:
     assert got_pw.key_set() == ref_pw.key_set(), (len(got_pw),
                                                   len(ref_pw))
     assert got_tl.key_set() == ref.key_set(), (len(got_tl), len(ref))
+
+    # ---- END-TO-END alignment across the 2 processes (VERDICT r5
+    # item 2 / BASELINE config 5): align() and progressive_align() run
+    # to XMFA under jax.process_count()==2, and every process asserts
+    # BYTE parity with its own single-process (mesh=None) result.
+    from libmems_tpu.aligner import AlignerConfig
+    from libmems_tpu.progressive import ProgressiveConfig
+    from libmems_tpu.sequence import Genome
+
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = [Genome(name=f"g{i}", ascii=lut[g], codes=g)
+               for i, g in enumerate(fam[:4])]
+    ivs_mh, _ = mh.multihost_align(
+        genomes, AlignerConfig(seed=seed, recursive=False))
+    ivs_1p, _ = __import__("libmems_tpu.aligner", fromlist=["align"]) \
+        .align(genomes, AlignerConfig(seed=seed, recursive=False))
+    assert mh._xmfa_bytes(ivs_mh) == mh._xmfa_bytes(ivs_1p), \
+        "multihost align() != single-process align()"
+
+    pcfg = ProgressiveConfig(seed=seed, refine=False, gap_search=False,
+                             use_bp_distance=False)
+    pivs_mh, _ = mh.multihost_progressive_align(genomes[:3], pcfg)
+    from libmems_tpu.progressive import progressive_align
+    pivs_1p, _ = progressive_align(genomes[:3], pcfg)
+    assert mh._xmfa_bytes(pivs_mh) == mh._xmfa_bytes(pivs_1p), \
+        "multihost progressive_align() != single-process"
+
     print(f"MULTIHOST_DRYRUN_OK pid={pid} owned={own} "
           f"mums={len(got)} pairwise={len(got_pw)} "
-          f"tiled={len(got_tl)}", flush=True)
+          f"tiled={len(got_tl)} e2e_align_intervals={len(ivs_mh.intervals)} "
+          f"e2e_prog_intervals={len(pivs_mh.intervals)}", flush=True)
 
 
 def run_multihost_dryrun(nproc: int = 2, local_devices: int = 4,

@@ -224,7 +224,8 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
                       chunk: int | None = None,
                       repeat_limit: int = 1000,
                       route_cap: int | None = None,
-                      max_retries: int = 3):
+                      max_retries: int = 3,
+                      repeat_tolerance: int = 0):
     """Full seed-prefix-sharded multi-MUM discovery (milestone M7).
 
     The distributed twin of matchfind._fused_mum_pipeline: windows are
@@ -263,7 +264,8 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
     last = None
     for _ in range(max_retries + 1):
         ma, dropped, cand_over = _sharded_find_mums_once(
-            smls, mesh, capacity, chunk, repeat_limit, route_cap)
+            smls, mesh, capacity, chunk, repeat_limit, route_cap,
+            repeat_tolerance)
         if dropped == 0 and cand_over == 0:
             return ma
         if dropped:
@@ -279,7 +281,7 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
 
 def _sharded_find_mums_once(smls, mesh: Mesh, capacity: int,
                             chunk: int | None, repeat_limit: int,
-                            route_cap: int):
+                            route_cap: int, repeat_tolerance: int = 0):
     from libmems_tpu.match import MatchArray
     from libmems_tpu.ops.extend import extend_matches
 
@@ -310,14 +312,18 @@ def _sharded_find_mums_once(smls, mesh: Mesh, capacity: int,
         (content, rg, rp, rstrand), dropped = _route_local(
             k, g, p, weight, n_dev, sentinel, send_cap=route_cap)
         sentinel_content = sentinel >> 1
-        # unique-MUM seed enumeration on the local run table
+        # MemHash seed enumeration on the local run table — runs are
+        # shard-local by construction (routing keys on content), so the
+        # same tolerance mask as _mum_seed_flags applies unchanged
+        # (m_repeat_tolerance, MemHash.cpp:139-162; fanned out through
+        # one interface like ParallelMemHash.cpp:42-121)
         sc = seg.run_starts(content)
         scg = seg.run_starts(content, rg)
         subrun_len = seg.run_lengths(scg)
         max_subrun = seg.segment_max_broadcast(subrun_len, sc)
         ngids = seg.segment_sum_broadcast(scg.astype(jnp.int32), sc)
         runlen = seg.run_lengths(sc)
-        keep_run = (ngids >= 2) & (max_subrun <= 1) \
+        keep_run = (ngids >= 2) & (max_subrun <= repeat_tolerance + 1) \
             & (runlen <= repeat_limit) & (content != sentinel_content)
         kept_occ = scg & keep_run
         rid_at_start = jnp.cumsum((sc & keep_run).astype(jnp.int32)) - 1

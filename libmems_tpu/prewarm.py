@@ -30,9 +30,18 @@ _ENABLED = os.environ.get("LIBMEMS_TPU_PREWARM", "1") != "0"
 
 def spawn(fn, name: str) -> threading.Thread | None:
     """Run fn on a best-effort daemon thread (exceptions swallowed —
-    warming must never fail a pipeline)."""
+    warming must never fail a pipeline).  Disabled under multi-host
+    execution: concurrent local dispatches next to process-spanning
+    collective programs buy nothing there and complicate enqueue-order
+    reasoning."""
     if not _ENABLED:
         return None
+    try:
+        import jax
+        if jax.process_count() > 1:
+            return None
+    except Exception:
+        pass
 
     def run():
         try:

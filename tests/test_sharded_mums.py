@@ -46,6 +46,31 @@ def test_sharded_two_devices(smls):
     assert ref.key_set() == got.key_set()
 
 
+def test_sharded_repeat_tolerance_parity():
+    """Tolerant repeat search on the mesh (VERDICT r5 item 7): genomes
+    carrying a 2-copy repeat family must yield the same match set as
+    the single-device tolerant path (MemHash::m_repeat_tolerance fanned
+    through one interface, ParallelMemHash.cpp:42-121)."""
+    seed = seedlib.get_seed(11, 0)
+    r = np.random.default_rng(5)
+    core = r.integers(0, 4, size=12000).astype(np.uint8)
+    elem = r.integers(0, 4, size=800).astype(np.uint8)
+    # two copies of the element per genome: seeds inside are non-unique
+    # (killed at tolerance 0, enumerated at tolerance 1)
+    a = np.concatenate([core[:4000], elem, core[4000:8000], elem,
+                        core[8000:]])
+    b = mutate(a, 0.01)
+    smls2 = [SortedMerList.create(x, seed) for x in (a, b)]
+    for tol in (1, 2):
+        ref = find_mums(smls2, repeat_tolerance=tol)
+        got = sharded_find_mums(smls2, make_mesh(8), capacity=16384,
+                                repeat_tolerance=tol)
+        assert ref.key_set() == got.key_set(), tol
+    # tolerance widens the match set on this input
+    assert len(find_mums(smls2, repeat_tolerance=1)) > \
+        len(find_mums(smls2))
+
+
 def test_sharded_overflow_detection(smls):
     # max_retries=0: the error path needs one compile, not four
     with pytest.raises(ValueError, match="capacity"):
