@@ -65,13 +65,26 @@ def _cpu_full_pipeline_np(codes_a, codes_b, seed):
     return np.stack([m.starts[:, 0], m.starts[:, 1], m.lengths], axis=1)
 
 
-def _cpu_reference_bases_per_s(codes_a, codes_b, seed, sample=1 << 20):
+def _cpu_reference_bases_per_s(codes_a, codes_b, seed, sample=1 << 20,
+                               reps=5):
+    """Median-of-`reps` single-core twin throughput + relative spread.
+
+    Pinned methodology (VERDICT r4 weak 5: a single-shot measurement
+    swung the published vs_baseline 48x->28x between runs with zero
+    code change): one untimed warmup, `reps` timed runs, median
+    throughput, spread = (max-min)/median of the timed runs recorded in
+    the JSON so an unstable box is visible in the artifact."""
     a = codes_a[:sample]
     b = codes_b[:sample]
-    t0 = time.perf_counter()
-    _ = _cpu_full_pipeline_np(a, b, seed)
-    dt = time.perf_counter() - t0
-    return (len(a) + len(b)) / dt
+    _ = _cpu_full_pipeline_np(a, b, seed)          # warmup (allocators)
+    times = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        _ = _cpu_full_pipeline_np(a, b, seed)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    spread = (max(times) - min(times)) / med
+    return (len(a) + len(b)) / med, spread
 
 
 def _stage_table(smls, chunk, ec):
@@ -155,7 +168,8 @@ def main():
     seed = seedlib.get_seed(15, 0)
     codes_a, codes_b = _synthetic_pair(L)
 
-    cpu_bps = _cpu_reference_bases_per_s(codes_a, codes_b, seed)
+    cpu_bps, cpu_spread = _cpu_reference_bases_per_s(codes_a, codes_b,
+                                                     seed)
 
     smls = [SortedMerList.create(codes_a, seed),
             SortedMerList.create(codes_b, seed)]
@@ -176,10 +190,13 @@ def main():
         EC <<= 2
         n_rows, n_reps = run(EC)
     iters = 5
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         run(EC)
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    dev_spread = (max(times) - min(times)) / dt
 
     bases = 2 * L
     bps = bases / dt
@@ -199,6 +216,8 @@ def main():
         "ms_per_iter_fetch_sync": round(dt * 1000, 1),
         "bases": bases,
         "cpu_twin_bases_per_s": round(cpu_bps, 1),
+        "cpu_twin_spread": round(cpu_spread, 3),
+        "device_spread": round(dev_spread, 3),
     }
     print(json.dumps(result))
     # record into the shared results file so README tables regenerate

@@ -258,7 +258,91 @@ def _fb_posterior_ckpt(obs: jax.Array, lengths: jax.Array,
     return jnp.moveaxis(posts.reshape(T, B), 0, 1)            # [B, T]
 
 
-def _fb_batched(sequences, params, fetch):
+# associative-scan F/B: above this length the sequential scan is
+# latency-bound (a 1M-column alignment runs a 1M-step device loop of
+# [B,2] work); the log-depth prefix-product formulation (SURVEY M6)
+# touches O(T) 2x2 log-matrices across 2*log2(T) levels instead
+_FB_ASSOC_MIN_T = 1 << 17
+# B*T cap for the assoc path: it materializes [B, T, 2, 2] transfer
+# tensors (16 bytes/column), so the cap is tighter than the scan path's
+_FB_ASSOC_MAX_ELEMS = 1 << 24
+
+
+def _lmm2(a, b):
+    """Log-space 2x2 matmul with the matrix stored as FOUR [B, T]
+    planes (m00, m01, m10, m11): a [.., 2, 2]-trailing layout pads 16x
+    on TPU tiles, planes pad not at all."""
+    a00, a01, a10, a11 = a
+    b00, b01, b10, b11 = b
+    return (jnp.logaddexp(a00 + b00, a01 + b10),
+            jnp.logaddexp(a00 + b01, a01 + b11),
+            jnp.logaddexp(a10 + b00, a11 + b10),
+            jnp.logaddexp(a10 + b01, a11 + b11))
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _fb_calls_assoc(obs: jax.Array, lengths: jax.Array, ls, lt, lstop,
+                    le, threshold: float):
+    """Posterior>=threshold calls via associative prefix/suffix products
+    of per-column transfer matrices (log-depth instead of a T-step
+    sequential device loop).
+
+    Forward: g_{i+1} = g_i (logmatmul) M_i with M_i[k,j] =
+    le(obs_i)[k] + lt[k,j]; padding columns carry the log-identity so g
+    freezes past each row's length.  Backward mirrors it with
+    N_i[k,j] = lt[k,j] + le(obs_{i+1})[j], identity from column
+    length-1 on, so b_i = N_i (...) applied to lstop equals the
+    sequential recursion exactly (up to f32 reassociation).  Returns
+    bit-packed calls uint8[B, T/8]."""
+    B, T = obs.shape
+    le0 = le[0][obs]                                # [B, T] emit | H
+    le1 = le[1][obs]                                # [B, T] emit | U
+    idx = jnp.arange(T)
+    valid = idx[None, :] < lengths[:, None]
+    ninf = jnp.float32(-jnp.inf)
+
+    def planes(e0, e1, mask, row_is_emit):
+        """Transfer planes with identity at masked columns.
+        row_is_emit: forward matrices add the emission to the ROW
+        (M[k,j] = e_k + lt[k,j]); backward to the COLUMN."""
+        if row_is_emit:
+            m = (e0 + lt[0, 0], e0 + lt[0, 1],
+                 e1 + lt[1, 0], e1 + lt[1, 1])
+        else:
+            m = (e0 + lt[0, 0], e1 + lt[0, 1],
+                 e0 + lt[1, 0], e1 + lt[1, 1])
+        return (jnp.where(mask, 0.0, m[0]), jnp.where(mask, ninf, m[1]),
+                jnp.where(mask, ninf, m[2]), jnp.where(mask, 0.0, m[3]))
+
+    M = planes(le0, le1, ~valid, True)
+    P = jax.lax.associative_scan(_lmm2, M, axis=1)  # P_i = M_0...M_i
+    g0_next = jnp.logaddexp(ls[0] + P[0], ls[1] + P[2])
+    g1_next = jnp.logaddexp(ls[0] + P[1], ls[1] + P[3])
+    g0 = jnp.concatenate(
+        [jnp.full((B, 1), ls[0], jnp.float32), g0_next[:, :-1]], axis=1)
+    g1 = jnp.concatenate(
+        [jnp.full((B, 1), ls[1], jnp.float32), g1_next[:, :-1]], axis=1)
+    F0 = g0 + le0
+    F1 = g1 + le1
+
+    le0n = jnp.concatenate([le0[:, 1:], le0[:, :1]], axis=1)
+    le1n = jnp.concatenate([le1[:, 1:], le1[:, :1]], axis=1)
+    lastcol = idx[None, :] >= (lengths - 1)[:, None]
+    N = planes(le0n, le1n, lastcol, False)
+    S = jax.lax.associative_scan(_lmm2, N, axis=1, reverse=True)
+    b0 = jnp.logaddexp(S[0] + lstop[0], S[1] + lstop[1])
+
+    last = (lengths - 1)[:, None].astype(jnp.int32)
+    f_last0 = jnp.take_along_axis(F0, last, axis=1)[:, 0]
+    f_last1 = jnp.take_along_axis(F1, last, axis=1)[:, 0]
+    logP = jnp.logaddexp(f_last0 + lstop[0], f_last1 + lstop[1])  # [B]
+    post_h = jnp.exp(F0 + b0 - logP[:, None])
+    calls = ((post_h >= threshold) & valid).astype(jnp.uint8)
+    return jnp.packbits(calls.reshape(B, T // 8, 8), axis=2,
+                        bitorder="little")[:, :, 0]
+
+
+def _fb_batched(sequences, params, fetch, max_elems_for=None):
     """Shared bucketing/padding driver: `fetch(obs, lens, matrices, T)`
     returns the per-dispatch host array; rows sliced back per input."""
     if params is None:
@@ -274,7 +358,8 @@ def _fb_batched(sequences, params, fetch):
         T = max(64, 1 << (len(s) - 1).bit_length())
         buckets.setdefault(T, []).append(i)
     for T, idxs in buckets.items():
-        max_rows = max(1, _FB_MAX_ELEMS // T)
+        cap = max_elems_for(T) if max_elems_for else _FB_MAX_ELEMS
+        max_rows = max(1, cap // T)
         for base in range(0, len(idxs), max_rows):
             part = idxs[base:base + max_rows]
             Bp = max(1, 1 << (len(part) - 1).bit_length())
@@ -330,6 +415,11 @@ def predict_homologous(sequences: list[np.ndarray],
     sequences threshold + bit-pack on device and unpack host-side."""
 
     def fetch(obs, lens, mats, T):
+        if T >= _FB_ASSOC_MIN_T:
+            packed = np.asarray(_fb_calls_assoc(obs, lens, *mats,
+                                                float(threshold)))
+            return np.unpackbits(packed, axis=1,
+                                 bitorder="little").astype(bool)
         if T >= _FB_CKPT_MIN_T:
             packed = np.asarray(_fb_calls_ckpt(obs, lens, *mats,
                                                FB_CKPT_COLS,
@@ -338,7 +428,11 @@ def predict_homologous(sequences: list[np.ndarray],
                                  bitorder="little").astype(bool)
         return np.asarray(_fb_posterior(obs, lens, *mats)) >= threshold
 
-    out, empty = _fb_batched(sequences, params, fetch)
+    out, empty = _fb_batched(
+        sequences, params, fetch,
+        max_elems_for=lambda T: (_FB_ASSOC_MAX_ELEMS
+                                 if T >= _FB_ASSOC_MIN_T
+                                 else _FB_MAX_ELEMS))
     for i in empty:
         out[i] = np.zeros(0, dtype=bool)
     return out

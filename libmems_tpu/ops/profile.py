@@ -275,6 +275,18 @@ BAND_SMAX = 2           # max q_len/p_len slope eligible for banding
 BAND_MIN_N = 1024       # smallest padded column bucket worth banding
 BAND_MARGIN = 64.0      # certificate strictness slack (f32 safety)
 
+# observability: cumulative banding outcomes (windows counted once per
+# banded attempt; "fallback" = eligible but uncertified -> full rerun)
+BAND_STATS = {"eligible": 0, "certified": 0, "fallback": 0,
+              "ineligible": 0}
+
+
+def _band_note(elig: np.ndarray, okm: np.ndarray, n: int) -> None:
+    BAND_STATS["eligible"] += int(elig[:n].sum())
+    BAND_STATS["certified"] += int(okm[:n].sum())
+    BAND_STATS["fallback"] += int((elig[:n] & ~okm[:n]).sum())
+    BAND_STATS["ineligible"] += int(n - elig[:n].sum())
+
 
 def _band_half(N: int) -> int:
     """Nominal half band width for an N-column bucket: wide enough that
@@ -547,6 +559,8 @@ def profile_scores_batch(p_rows: list[np.ndarray],
                 jnp.asarray(p), jnp.asarray(q), jnp.asarray(p_len),
                 jnp.asarray(q_len), gap_open, gap_extend, _band_half(N))
             okm = _band_eligible(p_len, q_len, Mp, N) & np.asarray(cert)
+            _band_note(_band_eligible(p_len, q_len, Mp, N), okm,
+                       len(todo))
             sb = np.asarray(score_b)
             remaining = []
             for r, k in enumerate(todo):
@@ -752,6 +766,8 @@ def align_profile_batch(p_rows: list[np.ndarray], q_rows: list[np.ndarray],
                 _, cert, packed = _banded_fwd_tb(
                     *args, gap_open, gap_extend, H_W, T)
             okm = _band_eligible(p_len, q_len, Mp, N) & np.asarray(cert)
+            _band_note(_band_eligible(p_len, q_len, Mp, N), okm,
+                       len(idxs))
             tb_b = tb_unpack(packed, nbp, T)
             remaining = []
             for r, k in enumerate(idxs):

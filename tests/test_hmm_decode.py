@@ -110,3 +110,34 @@ def test_checkpointed_fb_matches_unblocked():
     for b in range(B):
         np.testing.assert_allclose(p1[b, :lens[b]], p2[b, :lens[b]],
                                    atol=1e-5)
+
+
+def test_fb_assoc_matches_sequential_calls():
+    """The associative-scan F/B (log-depth prefix products of 2x2
+    transfer planes — the long-alignment path of predict_homologous)
+    must reproduce the sequential scan's posterior calls; columns whose
+    posterior sits within 1e-3 of the 0.9 threshold are excluded (f32
+    reassociation moves them either way)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from libmems_tpu.ops import hmm
+
+    rng = np.random.default_rng(29)
+    params = hmm.adapted_hoxd_params(0.5)
+    ls, lt, lstop, le = (jnp.asarray(x)
+                         for x in hmm._log_matrices(params))
+    B, T = 4, 4096
+    obs = rng.integers(0, 8, size=(B, T)).astype(np.int32)
+    lens = np.array([T, T - 5, T // 2, 64], dtype=np.int32)
+    post = np.asarray(hmm._fb_posterior(
+        jnp.asarray(obs), jnp.asarray(lens), ls, lt, lstop, le))
+    packed = np.asarray(hmm._fb_calls_assoc(
+        jnp.asarray(obs), jnp.asarray(lens), ls, lt, lstop, le, 0.9))
+    calls_a = np.unpackbits(packed, axis=1,
+                            bitorder="little").astype(bool)[:, :T]
+    calls_s = post >= 0.9
+    valid = np.arange(T)[None, :] < lens[:, None]
+    sure = np.abs(post - 0.9) > 1e-3
+    assert not ((calls_a != calls_s) & valid & sure).any()
+    # padding columns never call homologous
+    assert not (calls_a & ~valid).any()

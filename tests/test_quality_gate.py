@@ -14,6 +14,8 @@ CPU test mesh (the profile DP is TPU-shaped; CPU XLA runs it at
 tracks the same metrics at production scale on the real chip).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -23,6 +25,7 @@ from libmems_tpu.sequence import Genome
 pytestmark = pytest.mark.slow
 
 _LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _family(rng, n, length, mutate=0.02):
@@ -38,7 +41,10 @@ def _family(rng, n, length, mutate=0.02):
 
 def test_pair_config_quality_floor():
     """Scaled golden config 1/3: 60 kb 1%-divergent pair with one
-    inversion (measured r4: frac 0.999+, SP ~5.7e6, core ~59 k)."""
+    inversion.  Floors are measured-minus-margin (VERDICT r5 item 8):
+    r5 measured frac 1.000, SP 5.62e6 (93.7*n), core 59954 (0.999*n) —
+    floors sit ~10% under so a real regression (halved SP, dropped
+    coverage) fails while content-neutral changes pass."""
     from tests.golden import generate
     from libmems_tpu.aligner import AlignerConfig, align
 
@@ -46,9 +52,9 @@ def test_pair_config_quality_floor():
     ivs, _ = align(gs, AlignerConfig(gapped_alignment=True))
     q = alignment_quality_stats(ivs)
     n = len(gs[0])
-    assert q["multi_aligned_base_frac"] > 0.90, q
-    assert q["sp_score"] > 50 * n, q
-    assert q["core_columns"] > 0.85 * n, q
+    assert q["multi_aligned_base_frac"] > 0.99, q
+    assert q["sp_score"] > 84 * n, q          # measured 93.7*n
+    assert q["core_columns"] > 0.97 * n, q    # measured 0.999*n
 
 
 def test_progressive_quality_floor():
@@ -59,9 +65,36 @@ def test_progressive_quality_floor():
     gs = _family(np.random.default_rng(11), 5, 6000)
     ivs, _ = progressive_align(gs, ProgressiveConfig(refine=False))
     q = alignment_quality_stats(ivs)
-    assert q["multi_aligned_base_frac"] > 0.80, q
-    assert q["core_columns"] > 0.7 * 6000, q
-    assert q["sp_score"] > 0, q
+    # r5 measured: frac 0.9995, SP 5.39e6 (899*n at G=5), core 5993
+    assert q["multi_aligned_base_frac"] > 0.98, q
+    assert q["core_columns"] > 0.95 * 6000, q
+    assert q["sp_score"] > 0.8 * 5_390_000, q
+
+
+def test_repeat_rich_quality_floor():
+    """Planted-repeat-family pair (VERDICT r5 item 6): IS-element-like
+    multi-copy families stress the 1000-occurrence cutoff, overlap
+    clustering and uniqueness-scaled anchor scores.  Floors from the r5
+    measurement at this scale (frac ~0.99+, core ~0.97n) minus margin."""
+    import sys
+    sys.path.insert(0, REPO_ROOT)
+    try:
+        from bench_e2e import repeat_rich_pair
+    finally:
+        sys.path.remove(REPO_ROOT)
+    from libmems_tpu.aligner import AlignerConfig, align
+
+    a, b = repeat_rich_pair(length=120_000)
+    gs = [Genome(name="A", ascii=_LUT[a], codes=a),
+          Genome(name="B", ascii=_LUT[b], codes=b)]
+    ivs, mums = align(gs, AlignerConfig(gapped_alignment=True,
+                                        recursive=False))
+    q = alignment_quality_stats(ivs)
+    n = len(a)
+    assert q["multi_aligned_base_frac"] > 0.95, q
+    assert q["core_columns"] > 0.90 * n, q
+    assert q["sp_score"] > 70 * n, q
+    assert len(mums) > 20      # repeats fragment the MUM set
 
 
 def test_refine_never_regresses_sp():
