@@ -280,21 +280,33 @@ def _lmm2(a, b):
             jnp.logaddexp(a10 + b01, a11 + b11))
 
 
+FB_ASSOC_BLOCK = 4096   # columns per associative block: a single
+                        # T-length associative_scan emits a 2*log2(T)-
+                        # level unrolled HLO whose remote compile ran
+                        # >30 min at T=1M (PERF rule 13's failure mode);
+                        # an outer lax.scan over T/4096 blocks with the
+                        # log-depth scan INSIDE each block keeps the HLO
+                        # small and still cuts sequential steps 4096x
+
+
 @functools.partial(jax.jit, static_argnums=(6,))
 def _fb_calls_assoc(obs: jax.Array, lengths: jax.Array, ls, lt, lstop,
                     le, threshold: float):
-    """Posterior>=threshold calls via associative prefix/suffix products
-    of per-column transfer matrices (log-depth instead of a T-step
-    sequential device loop).
+    """Posterior>=threshold calls via block-associative prefix/suffix
+    products of per-column transfer matrices.
 
     Forward: g_{i+1} = g_i (logmatmul) M_i with M_i[k,j] =
     le(obs_i)[k] + lt[k,j]; padding columns carry the log-identity so g
     freezes past each row's length.  Backward mirrors it with
     N_i[k,j] = lt[k,j] + le(obs_{i+1})[j], identity from column
-    length-1 on, so b_i = N_i (...) applied to lstop equals the
-    sequential recursion exactly (up to f32 reassociation).  Returns
-    bit-packed calls uint8[B, T/8]."""
+    length-1 on, so the recursion equals the sequential scan exactly
+    (up to f32 reassociation).  Each FB_ASSOC_BLOCK-column block runs
+    one log-depth associative scan over four [B, K] planes; an outer
+    lax.scan carries (g, f_last) / b across blocks.  Returns bit-packed
+    calls uint8[B, T/8]."""
     B, T = obs.shape
+    K = min(FB_ASSOC_BLOCK, T)
+    nb = T // K
     le0 = le[0][obs]                                # [B, T] emit | H
     le1 = le[1][obs]                                # [B, T] emit | U
     idx = jnp.arange(T)
@@ -314,29 +326,59 @@ def _fb_calls_assoc(obs: jax.Array, lengths: jax.Array, ls, lt, lstop,
         return (jnp.where(mask, 0.0, m[0]), jnp.where(mask, ninf, m[1]),
                 jnp.where(mask, ninf, m[2]), jnp.where(mask, 0.0, m[3]))
 
-    M = planes(le0, le1, ~valid, True)
-    P = jax.lax.associative_scan(_lmm2, M, axis=1)  # P_i = M_0...M_i
-    g0_next = jnp.logaddexp(ls[0] + P[0], ls[1] + P[2])
-    g1_next = jnp.logaddexp(ls[0] + P[1], ls[1] + P[3])
-    g0 = jnp.concatenate(
-        [jnp.full((B, 1), ls[0], jnp.float32), g0_next[:, :-1]], axis=1)
-    g1 = jnp.concatenate(
-        [jnp.full((B, 1), ls[1], jnp.float32), g1_next[:, :-1]], axis=1)
-    F0 = g0 + le0
-    F1 = g1 + le1
+    def blk(x):                                     # [B, T] -> [nb, B, K]
+        return jnp.moveaxis(x.reshape(B, nb, K), 1, 0)
 
+    le0_b, le1_b, valid_b = blk(le0), blk(le1), blk(valid)
     le0n = jnp.concatenate([le0[:, 1:], le0[:, :1]], axis=1)
     le1n = jnp.concatenate([le1[:, 1:], le1[:, :1]], axis=1)
     lastcol = idx[None, :] >= (lengths - 1)[:, None]
-    N = planes(le0n, le1n, lastcol, False)
-    S = jax.lax.associative_scan(_lmm2, N, axis=1, reverse=True)
-    b0 = jnp.logaddexp(S[0] + lstop[0], S[1] + lstop[1])
+    le0n_b, le1n_b, lastcol_b = blk(le0n), blk(le1n), blk(lastcol)
+
+    def fwd_block(g, xs):
+        e0, e1, v = xs                              # [B, K] each
+        M = planes(e0, e1, ~v, True)
+        P = jax.lax.associative_scan(_lmm2, M, axis=1)
+        g0, g1 = g                                  # [B] each
+        gn0 = jnp.logaddexp(g0[:, None] + P[0], g1[:, None] + P[2])
+        gn1 = jnp.logaddexp(g0[:, None] + P[1], g1[:, None] + P[3])
+        # g at column c0+i = carry for i==0 else gn[i-1]
+        gc0 = jnp.concatenate([g0[:, None], gn0[:, :-1]], axis=1)
+        gc1 = jnp.concatenate([g1[:, None], gn1[:, :-1]], axis=1)
+        F0 = gc0 + e0
+        F1 = gc1 + e1
+        return (gn0[:, -1], gn1[:, -1]), (F0, F1)
+
+    g_init = (jnp.zeros((B,), le0.dtype) + ls[0],
+              jnp.zeros((B,), le0.dtype) + ls[1])
+    _, (F0_b, F1_b) = jax.lax.scan(fwd_block, g_init,
+                                   (le0_b, le1_b, valid_b))
+
+    def bwd_block(bc, xs):
+        e0n, e1n, lc = xs
+        N = planes(e0n, e1n, lc, False)
+        S = jax.lax.associative_scan(_lmm2, N, axis=1, reverse=True)
+        b0c, b1c = bc                               # [B] each
+        b0 = jnp.logaddexp(S[0] + b0c[:, None], S[1] + b1c[:, None])
+        b1 = jnp.logaddexp(S[2] + b0c[:, None], S[3] + b1c[:, None])
+        return (b0[:, 0], b1[:, 0]), (b0, b1)
+
+    b_init = (jnp.zeros((B,), le0.dtype) + lstop[0],
+              jnp.zeros((B,), le0.dtype) + lstop[1])
+    _, (B0_b, _B1_b) = jax.lax.scan(bwd_block, b_init,
+                                    (le0n_b, le1n_b, lastcol_b),
+                                    reverse=True)
+
+    unblk = lambda x: jnp.moveaxis(x, 0, 1).reshape(B, T)
+    F0 = unblk(F0_b)
+    F1 = unblk(F1_b)
+    b0_all = unblk(B0_b)
 
     last = (lengths - 1)[:, None].astype(jnp.int32)
     f_last0 = jnp.take_along_axis(F0, last, axis=1)[:, 0]
     f_last1 = jnp.take_along_axis(F1, last, axis=1)[:, 0]
     logP = jnp.logaddexp(f_last0 + lstop[0], f_last1 + lstop[1])  # [B]
-    post_h = jnp.exp(F0 + b0 - logP[:, None])
+    post_h = jnp.exp(F0 + b0_all - logP[:, None])
     calls = ((post_h >= threshold) & valid).astype(jnp.uint8)
     return jnp.packbits(calls.reshape(B, T // 8, 8), axis=2,
                         bitorder="little")[:, :, 0]
