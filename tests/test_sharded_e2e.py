@@ -123,10 +123,16 @@ def test_progressive_align_mesh_e2e_parity():
     assert len(ivs_got.intervals) > 0
 
 
-def test_mesh_rejects_tolerant_search():
+def test_mesh_supports_tolerant_search():
+    """repeat_tolerance>0 routes through the sharded pipeline too
+    (VERDICT r5 item 7) and reproduces the single-device XMFA.  The
+    old ValueError rejection is gone."""
     from libmems_tpu.aligner import AlignerConfig, align
 
     rng = np.random.default_rng(5)
-    genomes = _genomes(_family(rng, 2, 1000))
-    with pytest.raises(ValueError, match="repeat_tolerance"):
-        align(genomes, AlignerConfig(mesh=1, repeat_tolerance=1))
+    genomes = _genomes(_family(rng, 2, 3000))
+    ivs_ref, _ = align(genomes, AlignerConfig(repeat_tolerance=1,
+                                              recursive=False))
+    ivs_got, _ = align(genomes, AlignerConfig(
+        mesh=make_mesh(8), repeat_tolerance=1, recursive=False))
+    assert _xmfa_bytes(ivs_got) == _xmfa_bytes(ivs_ref)
