@@ -307,6 +307,14 @@ def _fb_calls_assoc(obs: jax.Array, lengths: jax.Array, ls, lt, lstop,
     B, T = obs.shape
     K = min(FB_ASSOC_BLOCK, T)
     nb = T // K
+    # float32 throughout: f64 emulation on TPU both slows execution and
+    # blows up compile time at megabase shapes; posterior>=0.9 calls
+    # are insensitive at this precision (borderline columns excluded in
+    # the parity test move either way)
+    ls = jnp.asarray(ls, jnp.float32)
+    lt = jnp.asarray(lt, jnp.float32)
+    lstop = jnp.asarray(lstop, jnp.float32)
+    le = jnp.asarray(le, jnp.float32)
     le0 = le[0][obs]                                # [B, T] emit | H
     le1 = le[1][obs]                                # [B, T] emit | U
     idx = jnp.arange(T)
@@ -326,53 +334,59 @@ def _fb_calls_assoc(obs: jax.Array, lengths: jax.Array, ls, lt, lstop,
         return (jnp.where(mask, 0.0, m[0]), jnp.where(mask, ninf, m[1]),
                 jnp.where(mask, ninf, m[2]), jnp.where(mask, 0.0, m[3]))
 
-    def blk(x):                                     # [B, T] -> [nb, B, K]
-        return jnp.moveaxis(x.reshape(B, nb, K), 1, 0)
+    def blk(x):                                     # [B, T] -> [B*nb, K]
+        return x.reshape(B * nb, K)
 
-    le0_b, le1_b, valid_b = blk(le0), blk(le1), blk(valid)
     le0n = jnp.concatenate([le0[:, 1:], le0[:, :1]], axis=1)
     le1n = jnp.concatenate([le1[:, 1:], le1[:, :1]], axis=1)
     lastcol = idx[None, :] >= (lengths - 1)[:, None]
-    le0n_b, le1n_b, lastcol_b = blk(le0n), blk(le1n), blk(lastcol)
 
-    def fwd_block(g, xs):
-        e0, e1, v = xs                              # [B, K] each
-        M = planes(e0, e1, ~v, True)
-        P = jax.lax.associative_scan(_lmm2, M, axis=1)
-        g0, g1 = g                                  # [B] each
-        gn0 = jnp.logaddexp(g0[:, None] + P[0], g1[:, None] + P[2])
-        gn1 = jnp.logaddexp(g0[:, None] + P[1], g1[:, None] + P[3])
-        # g at column c0+i = carry for i==0 else gn[i-1]
-        gc0 = jnp.concatenate([g0[:, None], gn0[:, :-1]], axis=1)
-        gc1 = jnp.concatenate([g1[:, None], gn1[:, :-1]], axis=1)
-        F0 = gc0 + e0
-        F1 = gc1 + e1
-        return (gn0[:, -1], gn1[:, -1]), (F0, F1)
+    # ---- forward: one K-length associative scan with blocks MERGED
+    # into the batch axis (no outer while loop — the toolchain's
+    # compile time explodes when the log-depth scan sits inside a
+    # lax.scan body), then a tiny nb-length scan over block totals,
+    # then a vectorized combine.
+    M = planes(blk(le0), blk(le1), blk(~valid), True)
+    P = jax.lax.associative_scan(_lmm2, M, axis=1)   # within-block prefix
+    Q = tuple(p.reshape(B, nb, K)[:, :, -1] for p in P)   # block totals
+    # block-start carries: g_b = ls (x) Q_0 (x) ... (x) Q_{b-1}
+    Qp = jax.lax.associative_scan(_lmm2, Q, axis=1)  # inclusive over nb
+    gs0 = jnp.logaddexp(ls[0] + Qp[0], ls[1] + Qp[2])     # [B, nb]
+    gs1 = jnp.logaddexp(ls[0] + Qp[1], ls[1] + Qp[3])
+    g_start0 = jnp.concatenate(
+        [jnp.zeros((B, 1), le0.dtype) + ls[0], gs0[:, :-1]], axis=1)
+    g_start1 = jnp.concatenate(
+        [jnp.zeros((B, 1), le0.dtype) + ls[1], gs1[:, :-1]], axis=1)
+    # g at (block b, col i) = g_start_b for i==0 else g_start_b (x) P_{i-1}
+    Pb = tuple(p.reshape(B, nb, K) for p in P)
+    a0 = g_start0[:, :, None]
+    a1 = g_start1[:, :, None]
+    gn0 = jnp.logaddexp(a0 + Pb[0], a1 + Pb[2])       # [B, nb, K]
+    gn1 = jnp.logaddexp(a0 + Pb[1], a1 + Pb[3])
+    gc0 = jnp.concatenate([jnp.broadcast_to(a0, a0.shape),
+                           gn0[:, :, :-1]], axis=2)
+    gc1 = jnp.concatenate([jnp.broadcast_to(a1, a1.shape),
+                           gn1[:, :, :-1]], axis=2)
+    F0 = gc0.reshape(B, T) + le0
+    F1 = gc1.reshape(B, T) + le1
 
-    g_init = (jnp.zeros((B,), le0.dtype) + ls[0],
-              jnp.zeros((B,), le0.dtype) + ls[1])
-    _, (F0_b, F1_b) = jax.lax.scan(fwd_block, g_init,
-                                   (le0_b, le1_b, valid_b))
-
-    def bwd_block(bc, xs):
-        e0n, e1n, lc = xs
-        N = planes(e0n, e1n, lc, False)
-        S = jax.lax.associative_scan(_lmm2, N, axis=1, reverse=True)
-        b0c, b1c = bc                               # [B] each
-        b0 = jnp.logaddexp(S[0] + b0c[:, None], S[1] + b1c[:, None])
-        b1 = jnp.logaddexp(S[2] + b0c[:, None], S[3] + b1c[:, None])
-        return (b0[:, 0], b1[:, 0]), (b0, b1)
-
-    b_init = (jnp.zeros((B,), le0.dtype) + lstop[0],
-              jnp.zeros((B,), le0.dtype) + lstop[1])
-    _, (B0_b, _B1_b) = jax.lax.scan(bwd_block, b_init,
-                                    (le0n_b, le1n_b, lastcol_b),
-                                    reverse=True)
-
-    unblk = lambda x: jnp.moveaxis(x, 0, 1).reshape(B, T)
-    F0 = unblk(F0_b)
-    F1 = unblk(F1_b)
-    b0_all = unblk(B0_b)
+    # ---- backward: within-block suffix products + suffix carries
+    N = planes(blk(le0n), blk(le1n), blk(lastcol), False)
+    S = jax.lax.associative_scan(_lmm2, N, axis=1, reverse=True)
+    R = tuple(s.reshape(B, nb, K)[:, :, 0] for s in S)    # block totals
+    Rs = jax.lax.associative_scan(_lmm2, R, axis=1, reverse=True)
+    # b at the END of block b (column start of block b+1 - 1's next):
+    # carry entering block b from the right = R_{b+1} (x) ... applied
+    # to lstop; inclusive reverse scan Rs_b = R_b (x) ... (x) R_{nb-1}
+    bs0 = jnp.logaddexp(Rs[0] + lstop[0], Rs[1] + lstop[1])   # [B, nb]
+    bs1 = jnp.logaddexp(Rs[2] + lstop[0], Rs[3] + lstop[1])
+    bc0 = jnp.concatenate(
+        [bs0[:, 1:], jnp.zeros((B, 1), le0.dtype) + lstop[0]], axis=1)
+    bc1 = jnp.concatenate(
+        [bs1[:, 1:], jnp.zeros((B, 1), le0.dtype) + lstop[1]], axis=1)
+    Sb = tuple(s.reshape(B, nb, K) for s in S)
+    b0_all = jnp.logaddexp(Sb[0] + bc0[:, :, None],
+                           Sb[1] + bc1[:, :, None]).reshape(B, T)
 
     last = (lengths - 1)[:, None].astype(jnp.int32)
     f_last0 = jnp.take_along_axis(F0, last, axis=1)[:, 0]
