@@ -271,10 +271,12 @@ def phase_progressive_9(tmpdir, n=9, length=1_000_000):
         total = sum(len(g) for g in fam)
         return (t0, t1, t2, total, ivs, new_ivs, segments)
 
+    from libmems_tpu.ops import profile as _prof
     trace.set_enabled(True)
     trace.reset()
     t0, t1, t2, total, ivs, new_ivs, segments = run(0, "nine")
     stages = trace.stage_seconds()
+    _prof.BAND_STATS.update(dict.fromkeys(_prof.BAND_STATS, 0))
     # marginal: a SECOND, different 9-genome family in the same
     # process — the per-alignment cost once executables are resident
     # (VERDICT r4 item 4: config 4 gets a steady-state number too)
@@ -297,6 +299,7 @@ def phase_progressive_9(tmpdir, n=9, length=1_000_000):
         "marginal_s": round(m2 - m0, 2),
         "marginal_bases_per_s": round(m_total / (m2 - m0), 1),
         "marginal_stages_s": m_stages,
+        "marginal_band_stats": dict(_prof.BAND_STATS),
         **_quality_stats(ivs)})
 
 

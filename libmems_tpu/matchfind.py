@@ -1278,11 +1278,19 @@ def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
         from libmems_tpu.sml import _bucket_len
         seed_len = smls[0].seed_length
         chunk = max(seed_len, 256)
-        keys_posorder = jnp.concatenate([s.keys for s in smls])
-        # bucket-pad the sorted-table input so genome-size variations
-        # share compile-cache entries; sentinel rows (all-ones content,
-        # fake genome 62) form their own runs and can never pair
+        # bucket-pad BOTH table inputs so genome-size variations share
+        # compile-cache entries.  keys_posorder's tail padding is never
+        # read (extension bounds probes by offs/cnts, which keep the
+        # unpadded layout); leaving it exact-shaped made every new
+        # genome family recompile the seeder (~190 s measured at the
+        # 9x1 Mbp marginal run, PERF rule 27)
         pad = _bucket_len(total) - total
+        keys_posorder = jnp.concatenate(
+            [s.keys for s in smls]
+            + ([jnp.full((pad,), ~jnp.zeros((), smls[0].keys.dtype),
+                         smls[0].keys.dtype)] if pad else []))
+        # sorted-table padding: sentinel rows (all-ones content, fake
+        # genome 62) form their own runs and can never pair
         keys, gid, pos = (jnp.concatenate(x) for x in zip(*(
             [(s.keys, jnp.full((s.n_windows,), i, jnp.int32),
               jnp.arange(s.n_windows, dtype=jnp.int32))

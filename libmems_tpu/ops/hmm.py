@@ -419,6 +419,11 @@ def _fb_batched(sequences, params, fetch, max_elems_for=None):
         for base in range(0, len(idxs), max_rows):
             part = idxs[base:base + max_rows]
             Bp = max(1, 1 << (len(part) - 1).bit_length())
+            if len(idxs) > max_rows:
+                # multi-dispatch bucket: pad EVERY part (including the
+                # remainder) to the full per-dispatch row count so a
+                # different job count next run reuses one executable
+                Bp = max(1, 1 << (max_rows - 1).bit_length())
             obs = np.zeros((Bp, T), dtype=np.int32)
             lens = np.ones(Bp, dtype=np.int32)
             for r, i in enumerate(part):
