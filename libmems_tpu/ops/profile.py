@@ -378,17 +378,31 @@ def _banded_block_scan(p, q, p_len, q_len, gap_open: int,
     score = jnp.take_along_axis(h_all, p_len[None, :].astype(jnp.int32),
                                 axis=0)[0]
 
-    # optimality certificate (see block comment above)
+    # optimality certificate (see block comment above).  The gap-cost
+    # term uses ORDER STATISTICS, not a global occ_min: an outside path
+    # makes >= g_lb gap moves on DISTINCT rows/columns, so its gap cost
+    # is bounded by the sum of the g_lb LEAST-NEGATIVE per-row/column
+    # extend costs (ext*occ).  One [B, M+N] sort; a single gap-heavy
+    # column no longer sinks the whole window's certificate (the r5
+    # refine gate measured 25% fallback under the occ_min bound).
     m_rows = jnp.arange(Mp)[None, :] < p_len[:, None]
-    occ_p = jnp.where(m_rows, 1.0 - p[:, :, GAP_CODE], 1.0).min(axis=1)
     n_cols = jnp.arange(N)[None, :] < ql[:, None]
-    occ_q = jnp.where(n_cols, 1.0 - q[:, :, GAP_CODE], 1.0).min(axis=1)
-    occ_min = jnp.minimum(occ_p, occ_q)
+    cost_p = jnp.where(m_rows, gap_extend * (1.0 - p[:, :, GAP_CODE]),
+                       -jnp.inf)
+    cost_q = jnp.where(n_cols, gap_extend * (1.0 - q[:, :, GAP_CODE]),
+                       -jnp.inf)
+    costs = jnp.concatenate([cost_p, cost_q], axis=1)   # [B, Mp+N]
+    costs = -jax.lax.sort(-costs, dimension=1)          # descending
+    csum = jnp.cumsum(jnp.where(jnp.isfinite(costs), costs, 0.0),
+                      axis=1)
+    g_lb = jnp.maximum(2 * H_W - 3 * jnp.abs(ql - p_len), 0)
+    gidx = jnp.clip(g_lb - 1, 0, Mp + N - 1).astype(jnp.int32)
+    gap_bound = jnp.where(
+        g_lb > 0,
+        jnp.take_along_axis(csum, gidx[:, None], axis=1)[:, 0], 0.0)
     cap = jnp.maximum(qw.max(axis=2), 0.0)
     sumcap = jnp.where(n_cols, cap, 0.0).sum(axis=1)
-    g_lb = jnp.maximum(2 * H_W - 3 * jnp.abs(ql - p_len), 0) \
-        .astype(jnp.float32)
-    rhs = sumcap + gap_open + gap_extend * occ_min * g_lb
+    rhs = sumcap + gap_open + gap_bound
     cert = score > rhs + BAND_MARGIN
     return score, outs, cert
 
