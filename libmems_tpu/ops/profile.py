@@ -513,12 +513,14 @@ def _band_eligible(p_len: np.ndarray, q_len: np.ndarray,
 
 
 def _bucket_cols(n, minimum=16):
-    """Padded column bucket: 4x-spaced below 4096 (round-trips dominate
-    padding waste for small windows), 1.5x-spaced above (at refine-window
-    scale the DP is quadratic in the pad, so coarse buckets would waste
-    >2x the compute; extra buckets only cost one-time compiles)."""
+    """Padded column bucket: 4x-spaced below 1024 (round-trips dominate
+    padding waste for small windows), 1.5x-spaced above.  The forward
+    scan is row-LATENCY-bound at refine-window scale (measured ~1.4 us
+    per row step regardless of width), so padded ROWS are wall-clock:
+    the finer spacing above 1024 cuts scan steps up to ~40% for
+    1-2.5k-row windows; extra buckets only cost one-time compiles."""
     b = minimum
-    while b < n and b < 4096:
+    while b < n and b < 1024:
         b *= 4
     while b < n:
         b = b * 3 // 2
