@@ -234,6 +234,14 @@ def main():
     with open(path + ".tmp", "w") as fh:
         json.dump(acc, fh, indent=1, sort_keys=True)
     os.replace(path + ".tmp", path)
+    # keep the README table in lockstep (tests/test_readme_table.py
+    # fails on drift)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_e2e import render_readme
+        render_readme()
+    except Exception as e:
+        print(f"# README render skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
