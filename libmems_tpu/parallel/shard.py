@@ -176,6 +176,35 @@ def shard_loads(keys: jax.Array, gid: jax.Array, pos: jax.Array,
     return np.asarray(route(keys, gid, pos)).astype(np.int64)
 
 
+def _bucket_pad_rows(keys, gid, pos, keys_po):
+    """Sentinel-pad the routed table AND the position-order key table to
+    the shared sqrt(2)-spaced length bucket (PERF rule 27: every traced
+    input must be bucket-padded or each genome family recompiles the
+    shard step).  Sentinel rows route to the drop bucket in
+    _route_local and extension never probes them (offs/cnts keep the
+    unpadded layout)."""
+    from libmems_tpu.sml import _bucket_len
+    n = len(keys)
+    b = _bucket_len(n)
+    if b == n:
+        return keys, gid, pos, keys_po
+    sent = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
+    keys = np.concatenate([keys, np.full(b - n, sent, keys.dtype)])
+    gid = np.concatenate([gid, np.zeros(b - n, gid.dtype)])
+    pos = np.concatenate([pos, np.zeros(b - n, pos.dtype)])
+    keys_po = jnp.concatenate(
+        [keys_po, jnp.full((b - n,), sent, keys_po.dtype)])
+    return keys, gid, pos, keys_po
+
+
+def _bucketed_total(smls, n_dev: int) -> int:
+    """Shared static-size base for capacity/route_cap derivation: the
+    bucket-padded window total rounded to the mesh size."""
+    from libmems_tpu.sml import _bucket_len
+    totb = _bucket_len(sum(s.n_windows for s in smls))
+    return totb + ((-totb) % n_dev)
+
+
 def _route_local(k, g, p, weight: int, n_dev: int, sentinel,
                  send_cap: int | None = None):
     """Shard-local body of the prefix routing: order rows by destination
@@ -252,8 +281,7 @@ def sharded_find_mums(smls, mesh: Mesh, capacity: int | None = None,
     repeat_tolerance=0).
     """
     n_dev = mesh.devices.size
-    total0 = sum(s.n_windows for s in smls)
-    total = total0 + ((-total0) % n_dev)
+    total = _bucketed_total(smls, n_dev)
     if capacity is None:
         capacity = max(256, 1 << (total // n_dev - 1).bit_length())
     if route_cap is None:
@@ -299,6 +327,7 @@ def _sharded_find_mums_once(smls, mesh: Mesh, capacity: int,
     gid = np.concatenate([np.full(c, i, np.int32)
                           for i, c in enumerate(cnts_np)])
     pos = np.concatenate([np.arange(c, dtype=np.int32) for c in cnts_np])
+    keys, gid, pos, keys_po = _bucket_pad_rows(keys, gid, pos, keys_po)
     keys, gid, pos = pad_table_for_mesh(keys, gid, pos, n_dev)
     sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
 
@@ -408,8 +437,7 @@ def sharded_find_pairwise_mums(smls, mesh: Mesh, capacity: int | None = None,
     G = len(smls)
     if G > 62:
         raise ValueError("sharded pairwise seeder supports <= 62 genomes")
-    total0 = sum(s.n_windows for s in smls)
-    total = total0 + ((-total0) % n_dev)
+    total = _bucketed_total(smls, n_dev)
     if capacity is None:
         capacity = max(256, 1 << (total // n_dev - 1).bit_length())
     if route_cap is None:
@@ -452,6 +480,7 @@ def _sharded_pairwise_once(smls, mesh: Mesh, capacity: int,
     gid = np.concatenate([np.full(c, i, np.int32)
                           for i, c in enumerate(cnts_np)])
     pos = np.concatenate([np.arange(c, dtype=np.int32) for c in cnts_np])
+    keys, gid, pos, keys_po = _bucket_pad_rows(keys, gid, pos, keys_po)
     keys, gid, pos = pad_table_for_mesh(keys, gid, pos, n_dev)
     sentinel_val = np.array(np.iinfo(keys.dtype).max, dtype=keys.dtype)
 
