@@ -65,7 +65,10 @@ def test_sharded_routing_buffers_are_bounded():
     finally:
         jax.lax.all_to_all = orig
     n_dev = 8
-    total = sum(s.n_windows for s in smls)
+    # capacities derive from the BUCKET-padded total (shape stability,
+    # PERF rule 27) — still O(total/n_dev), constant <= 1.5x
+    from libmems_tpu.parallel.shard import _bucketed_total
+    total = _bucketed_total(smls, n_dev)
     local = -(-total // n_dev)
     for shape in captured["shapes"]:
         assert shape[0] == n_dev
