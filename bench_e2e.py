@@ -157,9 +157,11 @@ def phase_repeat_rich_pair(tmpdir, length=2_000_000):
         write_xmfa(out, ivs)
         return time.perf_counter() - t0, ivs, mums
 
+    from libmems_tpu.ops import profile as _prof
     trace.set_enabled(True)
     trace.reset()
     dt1, ivs, mums = run(0, f"{tmpdir}/rep.xmfa")
+    _prof.BAND_STATS.update(dict.fromkeys(_prof.BAND_STATS, 0))
     trace.reset()
     dt2, ivs2, _ = run(1, f"{tmpdir}/rep2.xmfa")
     stages = trace.stage_seconds()
@@ -172,6 +174,7 @@ def phase_repeat_rich_pair(tmpdir, length=2_000_000):
         "marginal_s": round(dt2, 2),
         "marginal_bases_per_s": round(bases / dt2, 1),
         "marginal_stages_s": stages,
+        "marginal_band_stats": dict(_prof.BAND_STATS),
         **_quality_stats(ivs)})
 
 
