@@ -98,7 +98,10 @@ def _worker(coordinator: str, nproc: int, pid: int) -> None:
 
 
 def run_multihost_dryrun(nproc: int = 2, local_devices: int = 4,
-                         timeout: int = 900) -> None:
+                         timeout: int = 2400) -> None:
+    """timeout covers the worst case of cold CPU compile caches AND a
+    CI box shared with other test workers (the e2e align cases roughly
+    doubled worker runtime; measured ~10 min under xdist contention)."""
     """Spawn the worker fleet and verify every process reports parity."""
     import socket
     with socket.socket() as s:
