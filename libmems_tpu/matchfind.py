@@ -1255,6 +1255,21 @@ def pairwise_fused_fits(G: int, pos_bits: int, rid_bits: int) -> bool:
             and G <= 63)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _padded_table_meta(bl: tuple, cnts: jax.Array):
+    """(gid, pos) arrays for the padded concatenated seed-table layout:
+    segment i spans bl[i] rows; rows past cnts[i] are sentinel pads and
+    get the reserved genome id 62.  bl is static (bucket lengths), cnts
+    traced — one executable per bucket configuration."""
+    seg_id = jnp.asarray(np.repeat(np.arange(len(bl), dtype=np.int32),
+                                   np.asarray(bl, np.int64)))
+    local = jnp.asarray(np.concatenate(
+        [np.arange(b, dtype=np.int32) for b in bl]) if bl
+        else np.zeros((0,), np.int32))
+    gid = jnp.where(local < cnts[seg_id], seg_id, 62)
+    return gid, local
+
+
 def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
                        repeat_limit: int = MER_REPEAT_LIMIT,
                        extend: bool = True,
@@ -1269,45 +1284,40 @@ def find_pairwise_mums(genomes_or_smls, seed: int | None = None,
     smls, seed = _as_smls(genomes_or_smls, seed)
     G = len(smls)
     total = sum(s.n_windows for s in smls)
-    pos_bits = max(max((s.n_windows for s in smls), default=1)
-                   .bit_length(), 8)
-    rid_bits = (2 * total + 1).bit_length()   # covers bucket padding
+    # every shape below derives from the BUCKETED per-genome lengths, so
+    # genome families whose members fall in the same sqrt(2)-spaced
+    # buckets share one compiled seeder end to end.  The previous layout
+    # bucket-padded only the concatenated total: the per-genome
+    # jnp.concatenate/arange shapes still tracked exact sizes and every
+    # new family paid ~10-19 s of eager-op compiles (measured at the
+    # 9x1 Mbp marginal: concat/upload 10.5-18.7 s vs 1.25 s device
+    # compute; PERF.md rule 29)
+    kp = [s.padded_keys() for s in smls]
+    bl = tuple(int(k.shape[0]) for k in kp)
+    total_p = sum(bl)
+    pos_bits = max(max(bl, default=1).bit_length(), 8)
+    rid_bits = (2 * total_p + 1).bit_length()
     fits = pairwise_fused_fits(G, pos_bits, rid_bits)
-    if extend and fits and (G - 1) * total <= _PAIRWISE_FUSED_MAX_ROWS \
+    if extend and fits and (G - 1) * total_p <= _PAIRWISE_FUSED_MAX_ROWS \
             and total > 0 and G <= 62:
-        from libmems_tpu.sml import _bucket_len
         seed_len = smls[0].seed_length
         chunk = max(seed_len, 256)
-        # bucket-pad BOTH table inputs so genome-size variations share
-        # compile-cache entries.  keys_posorder's tail padding is never
-        # read (extension bounds probes by offs/cnts, which keep the
-        # unpadded layout); leaving it exact-shaped made every new
-        # genome family recompile the seeder (~190 s measured at the
-        # 9x1 Mbp marginal run, PERF rule 27)
-        pad = _bucket_len(total) - total
-        keys_posorder = jnp.concatenate(
-            [s.keys for s in smls]
-            + ([jnp.full((pad,), ~jnp.zeros((), smls[0].keys.dtype),
-                         smls[0].keys.dtype)] if pad else []))
-        # sorted-table padding: sentinel rows (all-ones content, fake
-        # genome 62) form their own runs and can never pair
-        keys, gid, pos = (jnp.concatenate(x) for x in zip(*(
-            [(s.keys, jnp.full((s.n_windows,), i, jnp.int32),
-              jnp.arange(s.n_windows, dtype=jnp.int32))
-             for i, s in enumerate(smls)]
-            + ([(~jnp.zeros((pad,), smls[0].keys.dtype),
-                 jnp.full((pad,), 62, jnp.int32),
-                 jnp.zeros((pad,), jnp.int32))] if pad else []))))
+        # padded windows carry the all-ones sentinel key: they form a
+        # single not_sent-masked run in the sorted table (can never
+        # seed, _unique_occ_flags) and extension never reads them
+        # (probes bound by cnts)
+        keys_posorder = jnp.concatenate(kp)
         cnts = jnp.asarray(np.array([s.n_windows for s in smls],
                                     np.int32))
+        gid, pos = _padded_table_meta(bl, cnts)
         offs = jnp.asarray(np.concatenate(
-            [[0], np.cumsum([s.n_windows for s in smls])[:-1]]
-        ).astype(np.int32))
+            [[0], np.cumsum(bl)[:-1]]).astype(np.int32))
         ec = min(extend_capacity, 1 << (max(total, 2) - 1).bit_length())
         while True:
             starts, lengths, valid, _, n_reps = _fused_pairwise_pipeline(
                 seed_len, chunk, G, pos_bits, rid_bits, ec,
-                repeat_limit, keys_posorder, keys, gid, pos, offs, cnts)
+                repeat_limit, keys_posorder, keys_posorder, gid, pos,
+                offs, cnts)
             n_reps = int(n_reps)
             if n_reps <= ec:
                 break

@@ -139,6 +139,7 @@ def _log_matrices(params: HmmParams):
 def _fb_posterior(obs: jax.Array, lengths: jax.Array, ls, lt, lstop, le):
     """obs: int32[B, T] symbol codes 0..7 (padding arbitrary);
     lengths: int32[B].  Returns posterior P(H) float32[B, T]."""
+    obs = obs.astype(jnp.int32)
     B, T = obs.shape
     le_obs = le.T[obs]                    # [B, T, 2] log emit per state
     idx = jnp.arange(T)
@@ -194,6 +195,7 @@ def _fb_posterior_ckpt(obs: jax.Array, lengths: jax.Array,
     Carry formulation: g_i = log P(obs[<i], state entering column i)
     (g_0 = log start), so f_i = g_i + logemit_i needs no ragged-length
     masking — f at each row's final column is tracked explicitly."""
+    obs = obs.astype(jnp.int32)
     B, T = obs.shape
     nb = T // K
     le_t = le.T                                  # [8, 2]
@@ -314,6 +316,7 @@ def _fb_calls_assoc(obs: jax.Array, lengths: jax.Array, ls, lt, lstop,
     ls = jnp.asarray(ls, jnp.float32)
     lt = jnp.asarray(lt, jnp.float32)
     lstop = jnp.asarray(lstop, jnp.float32)
+    obs = obs.astype(jnp.int32)
     le = jnp.asarray(le, jnp.float32)
     le0 = le[0][obs]                                # [B, T] emit | H
     le1 = le[1][obs]                                # [B, T] emit | U
@@ -424,7 +427,11 @@ def _fb_batched(sequences, params, fetch, max_elems_for=None):
                 # remainder) to the full per-dispatch row count so a
                 # different job count next run reuses one executable
                 Bp = max(1, 1 << (max_rows - 1).bit_length())
-            obs = np.zeros((Bp, T), dtype=np.int32)
+            # int8 upload: symbols are 0..7 and the host->device tunnel
+            # runs ~20-35 MB/s, so obs bytes ARE the bb_hmm dispatch
+            # wall at 36-pair megabase batches; kernels cast to int32
+            # on device
+            obs = np.zeros((Bp, T), dtype=np.int8)
             lens = np.ones(Bp, dtype=np.int32)
             for r, i in enumerate(part):
                 obs[r, :len(sequences[i])] = sequences[i]
@@ -510,6 +517,7 @@ def predict_homologous(sequences: list[np.ndarray],
 def _viterbi_path(obs: jax.Array, lengths: jax.Array, ls, lt, lstop, le):
     """Batched max-product decode.  obs int32[B, T]; returns the most
     likely state per column, bool[B, T] (True = homologous)."""
+    obs = obs.astype(jnp.int32)
     B, T = obs.shape
     le_obs = le.T[obs]                    # [B, T, 2]
     idx = jnp.arange(T)
@@ -565,7 +573,7 @@ def viterbi_homologous(sequences: list[np.ndarray],
         buckets.setdefault(T, []).append(i)
     for T, idxs in buckets.items():
         Bp = max(1, 1 << (len(idxs) - 1).bit_length())
-        obs = np.zeros((Bp, T), dtype=np.int32)
+        obs = np.zeros((Bp, T), dtype=np.int8)
         lens = np.ones(Bp, dtype=np.int32)
         for r, i in enumerate(idxs):
             obs[r, :len(sequences[i])] = sequences[i]
@@ -582,6 +590,7 @@ def _bw_counts(obs: jax.Array, lengths: jax.Array, ls, lt, lstop, le):
     """Expected transition counts [2,2], start counts [2] and emission
     counts [2,8] for one padded batch (standard Baum-Welch E-step in log
     space, masked past each row's length)."""
+    obs = obs.astype(jnp.int32)
     B, T = obs.shape
     le_obs = le.T[obs]
     idx = jnp.arange(T)
@@ -651,7 +660,7 @@ def baum_welch(sequences: list[np.ndarray],
         return params, []
     T = max(64, 1 << (max(len(s) for s in seqs) - 1).bit_length())
     Bp = max(1, 1 << (len(seqs) - 1).bit_length())
-    obs = np.zeros((Bp, T), dtype=np.int32)
+    obs = np.zeros((Bp, T), dtype=np.int8)
     lens = np.ones(Bp, dtype=np.int32)
     for r, s in enumerate(seqs):
         obs[r, :len(s)] = s

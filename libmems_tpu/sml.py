@@ -67,6 +67,32 @@ class SortedMerList:
     sorted_positions: jax.Array    # int32, window positions ordered by key
     circular: bool = False
     filename: str = ""
+    # bucket-padded position-order keys (sentinel tail): windows beyond
+    # n_windows hold the all-ones sentinel and the array length is
+    # _bucket_len-stable, so consumers that concatenate per-genome key
+    # tables (find_pairwise_mums) reuse one compiled program across
+    # genome families instead of recompiling at every exact size
+    # (PERF.md rule 27's cousin: EVERY eager concat shape must be
+    # bucketed too).  Built by create() for free; lazily derived for
+    # loaded/gathered SMLs.
+    keys_padded_cache: jax.Array | None = field(
+        default=None, repr=False, compare=False)
+
+    def padded_keys(self) -> jax.Array:
+        """Position-order keys padded to the stable bucket length with
+        the all-ones sentinel (never matches; ops.extend masks it)."""
+        if self.keys_padded_cache is None:
+            n = self.n_windows
+            seed_len = self.seed_length
+            b = _bucket_len(n + seed_len - 1) - seed_len + 1
+            pad = b - n
+            if pad <= 0:
+                self.keys_padded_cache = self.keys
+            else:
+                sent = ~jnp.zeros((pad,), self.keys.dtype)
+                self.keys_padded_cache = jnp.concatenate(
+                    [self.keys, sent])
+        return self.keys_padded_cache
 
     @property
     def seed_length(self) -> int:
@@ -133,7 +159,8 @@ class SortedMerList:
         skeys, spos = skeys_p[:n], spos_p[:n]
         return SortedMerList(seed=seed, length=int(length), keys=keys,
                              sorted_keys=skeys, sorted_positions=spos,
-                             circular=circular, filename=filename)
+                             circular=circular, filename=filename,
+                             keys_padded_cache=masked)
 
     def unique_mer_count(self) -> int:
         """Number of distinct canonical mer contents
