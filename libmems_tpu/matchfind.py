@@ -671,22 +671,27 @@ def find_mums_device(smls: list[SortedMerList], capacity: int | None = None,
         return _fused_pair_pipeline(
             seed_len, chunk, pb, extend_capacity, repeat_limit,
             keys_posorder, smls[0].keys, smls[1].keys, offs, cnts)
+    # bucket-stable table layout (PERF.md rule 29): concatenate the
+    # SMLs' padded sentinel-tail key arrays so genome families in the
+    # same size buckets share one compiled pipeline.  Sentinel runs are
+    # not_sent-masked in _mum_seed_flags; gid-62 pad rows only occur in
+    # those runs, so they never reach the (mode="drop") scatter kept.
+    kp = [s.padded_keys() for s in smls]
+    bl = tuple(int(k.shape[0]) for k in kp)
+    total_p = sum(bl)
     if capacity is None:
         # every surviving run holds >=2 occurrences (ngids >= 2), so
         # candidate rows are bounded by half the table
-        capacity = 1 << max(total // 2, 1).bit_length()
+        capacity = 1 << max(total_p // 2, 1).bit_length()
     extend_capacity = min(extend_capacity, capacity)
-    keys_posorder = jnp.concatenate([s.keys for s in smls])
-    keys, gid, pos = (jnp.concatenate(x) for x in zip(*[
-        (s.keys, jnp.full((s.n_windows,), i, jnp.int32),
-         jnp.arange(s.n_windows, dtype=jnp.int32))
-        for i, s in enumerate(smls)]))
+    keys_posorder = jnp.concatenate(kp)
     cnts = jnp.asarray(np.array([s.n_windows for s in smls], np.int32))
+    gid, pos = _padded_table_meta(bl, cnts)
     offs = jnp.asarray(np.concatenate(
-        [[0], np.cumsum([s.n_windows for s in smls])[:-1]]).astype(np.int32))
+        [[0], np.cumsum(bl)[:-1]]).astype(np.int32))
     return _fused_mum_pipeline(seed_len, chunk, capacity, extend_capacity,
                                repeat_limit, seq_mask,
-                               keys_posorder, keys, gid, pos,
+                               keys_posorder, keys_posorder, gid, pos,
                                offs, cnts)
 
 
