@@ -178,6 +178,53 @@ def phase_repeat_rich_pair(tmpdir, length=2_000_000):
         **_quality_stats(ivs)})
 
 
+def phase_trio_to_xmfa(tmpdir, length=1_500_000):
+    """BASELINE config 2: three-genome multi-MUM anchoring (MemHash
+    multi-match semantics + MatchList filtering) through the flat
+    aligner to XMFA — the one BASELINE config the pair/progressive
+    phases don't cover.  Exercises the G>2 fused MUM pipeline
+    (find_mums_device) at its bucket-stable shapes."""
+    import numpy as np
+    from libmems_tpu import trace
+    from libmems_tpu.aligner import AlignerConfig, align
+    from libmems_tpu.interval import write_xmfa
+    from libmems_tpu.sequence import Genome
+
+    cache = _cache_state()
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def run(rng_seed, out):
+        fam = _mutant_family(3, length, rng_seed=rng_seed)
+        genomes = [Genome(name=f"g{i}", ascii=lut[g], codes=g)
+                   for i, g in enumerate(fam)]
+        t0 = time.perf_counter()
+        ivs, mums = align(genomes, AlignerConfig(gapped_alignment=True,
+                                                 recursive=False))
+        write_xmfa(out, ivs)
+        total = sum(len(g) for g in fam)
+        return time.perf_counter() - t0, total, ivs, mums
+
+    trace.set_enabled(True)
+    trace.reset()
+    dt1, total, ivs, mums = run(0, f"{tmpdir}/trio.xmfa")
+    trace.reset()
+    dt2a, _, _, _ = run(1, f"{tmpdir}/trio2.xmfa")
+    trace.reset()
+    dt2, m_total, ivs2, _ = run(2, f"{tmpdir}/trio3.xmfa")
+    stages = trace.stage_seconds()
+    trace.set_enabled(False)
+    _emit({
+        "metric": "trio_align_to_xmfa_s", "value": round(dt1, 2),
+        "unit": "s", "cache": cache, "bases": total,
+        "n_mums": len(mums), "n_intervals": len(ivs.intervals),
+        "bases_per_s": round(total / dt1, 1),
+        "marginal_s": round(dt2, 2),
+        "marginal_first_s": round(dt2a, 2),
+        "marginal_bases_per_s": round(m_total / dt2, 1),
+        "marginal_stages_s": stages,
+        **_quality_stats(ivs)})
+
+
 def _cache_state() -> str:
     """'warm' when the persistent compile cache already has entries."""
     from libmems_tpu import _jaxconfig
@@ -329,6 +376,15 @@ def render_block(acc: dict) -> str:
             f"{p['marginal_s']} s ({p['marginal_bases_per_s'] / 1e6:.2f}"
             f" Mbases/s) | SP {p['sp_score']:.3g}, "
             f"{p['multi_aligned_base_frac'] * 100:.1f}% bases aligned |")
+    t = acc.get("trio_align_to_xmfa_s")
+    if t:
+        lines.append(
+            f"| 3 x {t['bases'] // 3 / 1e6:.1f} Mbp multi-MUM anchoring "
+            f"-> flat XMFA | "
+            f"{t['value']} s ({t['cache']} cache) | "
+            f"{t['marginal_s']} s ({t['marginal_bases_per_s'] / 1e6:.2f}"
+            f" Mbases/s) | SP {t['sp_score']:.3g}, "
+            f"{t['multi_aligned_base_frac'] * 100:.1f}% bases aligned |")
     q = acc.get("progressive9_to_xmfa_s")
     if q:
         marg = (f"{q['marginal_s']} s "
@@ -400,12 +456,17 @@ def main():
         cold_dir = tempfile.mkdtemp(prefix="libmems_cold_cache_")
         os.environ["LIBMEMS_TPU_COMPILE_CACHE"] = cold_dir
         os.environ["LIBMEMS_TPU_BENCH_COLD"] = "1"
+    only = {a for a in sys.argv[1:] if a.endswith("-only")}
     with tempfile.TemporaryDirectory() as td:
-        if "--nine-only" not in sys.argv and "--repeat-only" not in sys.argv:
+        if not only or "--pair-only" in only:
             phase_pair_to_xmfa(td)
-        if "--pair-only" not in sys.argv and "--repeat-only" not in sys.argv:
+        if (not only and "--no-trio" not in sys.argv) \
+                or "--trio-only" in only:
+            phase_trio_to_xmfa(td)
+        if not only or "--nine-only" in only:
             phase_progressive_9(td)
-        if "--repeat-only" in sys.argv or "--repeat" in sys.argv:
+        if ((not only and "--repeat" in sys.argv)
+                or "--repeat-only" in only):
             phase_repeat_rich_pair(td)
     # every bench run rewrites the README table — numbers can't drift
     render_readme()

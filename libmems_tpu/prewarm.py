@@ -85,36 +85,40 @@ def _warm_pairwise_seeder(n_windows: list[int], seed: int,
         from libmems_tpu import seeds as seedlib
         from libmems_tpu.matchfind import (_PAIRWISE_FUSED_MAX_ROWS,
                                            _fused_pairwise_pipeline,
+                                           _padded_table_meta,
                                            pairwise_fused_fits)
         from libmems_tpu.sml import _bucket_len
 
         G = len(n_windows)
         total = sum(n_windows)
-        pos_bits = max(max(n_windows, default=1).bit_length(), 8)
-        rid_bits = (2 * total + 1).bit_length()
+        seed_len = seedlib.seed_length(seed)
+        # mirror find_pairwise_mums' bucket-stable layout exactly
+        # (PERF.md rule 29): per-genome padded window counts, gid/pos
+        # from the jitted bucket helper, one table for both key inputs
+        bl = tuple(_bucket_len(n + seed_len - 1) - seed_len + 1
+                   for n in n_windows)
+        total_p = sum(bl)
+        pos_bits = max(max(bl, default=1).bit_length(), 8)
+        rid_bits = (2 * total_p + 1).bit_length()
         if not (pairwise_fused_fits(G, pos_bits, rid_bits)
-                and (G - 1) * total <= _PAIRWISE_FUSED_MAX_ROWS
+                and (G - 1) * total_p <= _PAIRWISE_FUSED_MAX_ROWS
                 and total > 0 and G <= 62):
             return
-        seed_len = seedlib.seed_length(seed)
         chunk = max(seed_len, 256)
-        npad = _bucket_len(total)
         # all-sentinel tables: every row is one masked run, no seeds
         # survive, so the warm execution's compute is negligible
         from libmems_tpu.ops.mers import key_dtype
         kdtype = key_dtype(seed)
         sent = ~jnp.zeros((), kdtype)
-        keys_posorder = jnp.full((total,), sent, kdtype)
-        keys = jnp.full((npad,), sent, kdtype)
-        gid = jnp.full((npad,), 62, jnp.int32)
-        pos = jnp.zeros((npad,), jnp.int32)
+        keys_posorder = jnp.full((total_p,), sent, kdtype)
         cnts = jnp.asarray(np.asarray(n_windows, np.int32))
+        gid, pos = _padded_table_meta(bl, cnts)
         offs = jnp.asarray(np.concatenate(
-            [[0], np.cumsum(n_windows)[:-1]]).astype(np.int32))
+            [[0], np.cumsum(bl)[:-1]]).astype(np.int32))
         ec = min(1 << 14, 1 << (max(total, 2) - 1).bit_length())
         _fused_pairwise_pipeline(seed_len, chunk, G, pos_bits, rid_bits,
-                                 ec, repeat_limit, keys_posorder, keys,
-                                 gid, pos, offs, cnts)
+                                 ec, repeat_limit, keys_posorder,
+                                 keys_posorder, gid, pos, offs, cnts)
 
     return run
 
