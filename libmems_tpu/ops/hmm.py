@@ -475,6 +475,18 @@ def _fb_calls_ckpt(obs, lengths, ls, lt, lstop, le, K: int,
                         bitorder="little")[:, :, 0]
 
 
+@functools.partial(jax.jit, static_argnums=(6,))
+def _fb_calls_small(obs, lengths, ls, lt, lstop, le, threshold: float):
+    """Thresholded calls for small buckets, packed 8 columns/byte on
+    device (the T < _FB_CKPT_MIN_T tier of predict_homologous; T is a
+    power of two >= 64, so T % 8 == 0)."""
+    post = _fb_posterior(obs, lengths, ls, lt, lstop, le)
+    bits = (post >= threshold).astype(jnp.uint8)
+    B, T = bits.shape
+    return jnp.packbits(bits.reshape(B, T // 8, 8), axis=2,
+                        bitorder="little")[:, :, 0]
+
+
 def predict_homologous(sequences: list[np.ndarray],
                        params: HmmParams | None = None,
                        threshold: float = POSTERIOR_THRESHOLD
@@ -484,17 +496,19 @@ def predict_homologous(sequences: list[np.ndarray],
 
     def fetch(obs, lens, mats, T):
         if T >= _FB_ASSOC_MIN_T:
-            packed = np.asarray(_fb_calls_assoc(obs, lens, *mats,
-                                                float(threshold)))
-            return np.unpackbits(packed, axis=1,
-                                 bitorder="little").astype(bool)
-        if T >= _FB_CKPT_MIN_T:
-            packed = np.asarray(_fb_calls_ckpt(obs, lens, *mats,
-                                               FB_CKPT_COLS,
-                                               float(threshold)))
-            return np.unpackbits(packed, axis=1,
-                                 bitorder="little").astype(bool)
-        return np.asarray(_fb_posterior(obs, lens, *mats)) >= threshold
+            packed = _fb_calls_assoc(obs, lens, *mats, float(threshold))
+        elif T >= _FB_CKPT_MIN_T:
+            packed = _fb_calls_ckpt(obs, lens, *mats, FB_CKPT_COLS,
+                                    float(threshold))
+        else:
+            # small buckets dominate backbone workloads (config 4:
+            # mean interval ~4k columns, 36 pairs x 1M columns total);
+            # fetching their raw f32 posteriors moved ~200 MB over the
+            # 20-35 MB/s tunnel — threshold + bit-pack on device for
+            # EVERY size (1/32 the bytes)
+            packed = _fb_calls_small(obs, lens, *mats, float(threshold))
+        return np.unpackbits(np.asarray(packed), axis=1,
+                             bitorder="little").astype(bool)
 
     out, empty = _fb_batched(
         sequences, params, fetch,
