@@ -1265,12 +1265,19 @@ def _padded_table_meta(bl: tuple, cnts: jax.Array):
     """(gid, pos) arrays for the padded concatenated seed-table layout:
     segment i spans bl[i] rows; rows past cnts[i] are sentinel pads and
     get the reserved genome id 62.  bl is static (bucket lengths), cnts
-    traced — one executable per bucket configuration."""
-    seg_id = jnp.asarray(np.repeat(np.arange(len(bl), dtype=np.int32),
-                                   np.asarray(bl, np.int64)))
-    local = jnp.asarray(np.concatenate(
-        [np.arange(b, dtype=np.int32) for b in bl]) if bl
-        else np.zeros((0,), np.int32))
+    traced — one executable per bucket configuration.  Built from iota
+    + a G-element searchsorted so the executable carries only a [G]
+    constant (an np.repeat table here would bake 4*total bytes of
+    constants into the cache entry and its every load)."""
+    total_p = int(sum(bl))
+    bounds = jnp.asarray(np.cumsum(bl).astype(np.int32)) if bl else \
+        jnp.zeros((0,), jnp.int32)
+    starts = jnp.asarray(
+        np.concatenate([[0], np.cumsum(bl)[:-1]]).astype(np.int32)
+        if bl else np.zeros((0,), np.int32))
+    r = jnp.arange(total_p, dtype=jnp.int32)
+    seg_id = jnp.searchsorted(bounds, r, side="right").astype(jnp.int32)
+    local = r - starts[seg_id]
     gid = jnp.where(local < cnts[seg_id], seg_id, 62)
     return gid, local
 
