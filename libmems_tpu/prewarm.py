@@ -27,6 +27,20 @@ import numpy as np
 
 _ENABLED = os.environ.get("LIBMEMS_TPU_PREWARM", "1") != "0"
 
+# configs warmed this process: warming exists to overlap FIRST-call
+# executable loads; once a configuration has been warmed, its
+# executables are resident and re-running the warm bodies would only
+# occupy the device queue next to the real marginal work (measured as
+# multi-second sml_build inflation on second-family runs)
+_WARMED: set = set()
+
+
+def _once(key) -> bool:
+    if key in _WARMED:
+        return False
+    _WARMED.add(key)
+    return True
+
 
 def spawn(fn, name: str) -> threading.Thread | None:
     """Run fn on a best-effort daemon thread (exceptions swallowed —
@@ -181,6 +195,11 @@ def prewarm_pair_align(genomes, seed: int,
         buckets.add(_bucket_len(L))
         n_windows.append(max(L - seed_len + 1, 0))
         any_ambig = any_ambig or bool(g.ambig.any())
+    if not _once(("pair", tuple(sorted(buckets)),
+                  tuple(_bucket_len(n) for n in n_windows),
+                  (sum(n_windows) - 1).bit_length(),   # sizes ec (static)
+                  seed, any_ambig, repeat_limit)):
+        return []
     threads = [spawn(_warm_sml_create(buckets, seed, any_ambig), "sml"),
                spawn(_warm_pair_mum_finder(n_windows, seed,
                                            repeat_limit), "pairmum")]
@@ -207,6 +226,11 @@ def prewarm_pairwise(genomes, seed: int,
         buckets.add(_bucket_len(L))
         n_windows.append(max(L - seed_len + 1, 0))
         any_ambig = any_ambig or bool(g.ambig.any())
+    if not _once(("pairwise", tuple(sorted(buckets)),
+                  tuple(_bucket_len(n) for n in n_windows),
+                  max(sum(n_windows), 2).bit_length(),  # sizes ec (static)
+                  seed, any_ambig, repeat_limit)):
+        return []
     threads = [spawn(_warm_sml_create(buckets, seed, any_ambig), "sml"),
                spawn(_warm_pairwise_seeder(n_windows, seed,
                                            repeat_limit), "seeder")]
